@@ -1,0 +1,158 @@
+"""Compliant contact: detection + batched projected Gauss-Seidel impulse solve.
+
+Reproduces the semantics of Bullet's sequential-impulse solver in the regime
+the reference uses it (per-body ``contactStiffness``/``contactDamping``
+mutated at runtime, ``numSolverIterations=100``; reference:
+my_pybullet_envs/hopper_env_v3.py:118,169-177,
+hopper_env_combined_policy.py:270-287):
+
+* stiffness/damping -> constraint softness via Bullet's ERP/CFM conversion
+  ``erp = dt*k/(dt*k + d)``, ``cfm = 1/(dt*k + d)``;
+* combined contact parameters: lateral friction = f_a*f_b, restitution =
+  e_a*e_b, stiffness in series, damping summed, spinning friction by the
+  cross rule ``s_a*f_b + s_b*f_a``;
+* restitution applied as a velocity bias when the approach speed exceeds a
+  threshold;
+* friction: two tangent rows clamped by ``mu * lambda_n``; torsional
+  (spinning) friction as one angular row clamped by ``mu_spin * lambda_n``.
+
+All contacts are against the horizontal floor plane ``z = floor_z`` (the only
+collider in every reference env).  Candidate contact spheres are static per
+robot; inactive ones are masked, so the jitted program has fixed shape.
+
+The "deformable mattress" target envs (``loadSoftBody`` with mass-spring
+parameters, hopper_env_v3.py:143-149, laikago_env_v4.py:177-183) are modeled
+by the same machinery as a soft half-space: the floor's stiffness/damping are
+set to the soft body's spring constants and the robot-side contact params are
+ignored (``combine='floor'``) because Bullet's deformable contact does not
+read the rigid body's stiffness either.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from simgan_tpu.core import maths
+from simgan_tpu.core.system import DomainParams, System
+from simgan_tpu.physics.dynamics import Dyn
+from simgan_tpu.physics.kinematics import geom_world
+
+
+class ContactConfig(NamedTuple):
+    iterations: int = 20
+    restitution_threshold: float = 0.2   # Bullet default splitting threshold
+    combine: str = "bullet"              # 'bullet' | 'floor' (deform surrogate)
+    max_friction: float = 10.0           # Bullet clamps combined friction at 10
+
+
+def _combined_params(sys: System, dp: DomainParams, cfg: ContactConfig):
+    G = sys.n_geoms
+    if cfg.combine == "floor":
+        mu = jnp.broadcast_to(dp.floor_friction, (G,))
+        mu_spin = jnp.broadcast_to(dp.floor_spinning_friction, (G,))
+        e = jnp.broadcast_to(dp.floor_restitution, (G,))
+        k = jnp.broadcast_to(dp.floor_stiffness, (G,))
+        d = jnp.broadcast_to(dp.floor_damping, (G,))
+    else:
+        mu = jnp.clip(dp.lateral_friction * dp.floor_friction, 0.0, cfg.max_friction)
+        mu_spin = dp.spinning_friction * dp.floor_friction + dp.floor_spinning_friction * dp.lateral_friction
+        e = dp.restitution * dp.floor_restitution
+        ks, kf = dp.contact_stiffness, dp.floor_stiffness
+        k = ks * kf / jnp.maximum(ks + kf, 1e-9)
+        d = dp.contact_damping + dp.floor_damping
+    return mu, mu_spin, e, k, d
+
+
+def contact_impulses(
+    sys: System,
+    dp: DomainParams,
+    dyn: Dyn,
+    qd_free: jax.Array,
+    dt: float,
+    cfg: ContactConfig,
+) -> jax.Array:
+    """Return the post-contact generalized velocity.
+
+    ``qd_free`` is the velocity after applying all smooth forces for one
+    substep.  Solves a small PGS system (4 rows per candidate contact:
+    normal, 2 tangents, torsional) with Bullet-style soft constraints.
+    """
+    G = sys.n_geoms
+    if G == 0:
+        return qd_free
+    with jax.default_matmul_precision("highest"):
+        return _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg)
+
+
+def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg) -> jax.Array:
+    G = sys.n_geoms
+    nv = sys.nv
+    kin = dyn.kin
+
+    p_geom, _ = geom_world(sys, kin)
+    phi = p_geom[:, 2] - sys.geom_radius - dp.floor_z      # signed gap per geom
+    active = phi < 0.0
+
+    mu, mu_spin, e, k, d = _combined_params(sys, dp, cfg)
+    denom = dt * k + d
+    cfm = 1.0 / jnp.maximum(denom, 1e-9)
+    erp = dt * k / jnp.maximum(denom, 1e-9)
+    softness = cfm / dt                                     # added to row diagonal
+    pushout = -(erp / dt) * jnp.minimum(phi, 0.0)           # >= 0 bias velocity
+
+    # Build rows: for each geom, [normal; t1; t2; spin]
+    n_vec = jnp.array([0.0, 0.0, 1.0])
+    t1 = jnp.array([1.0, 0.0, 0.0])
+    t2 = jnp.array([0.0, 1.0, 0.0])
+
+    rows = []
+    for g in range(G):
+        l = sys.geom_link[g]
+        # contact point at the bottom of the sphere
+        r = (p_geom[g] - jnp.array([0.0, 0.0, 1.0]) * sys.geom_radius[g]) - kin.com[l]
+        j_pt = kin.jv[l] - maths.skew(r) @ kin.jw[l]        # (3, NV)
+        rows.append(n_vec @ j_pt)
+        rows.append(t1 @ j_pt)
+        rows.append(t2 @ j_pt)
+        rows.append(n_vec @ kin.jw[l])                      # torsional row
+    J = jnp.stack(rows)                                     # (4G, NV)
+
+    A = J @ dyn.m_inv @ J.T                                 # (4G, 4G)
+    v0 = J @ qd_free                                        # row velocities pre-impulse
+
+    # restitution bias on normal rows from the *pre-contact* approach speed
+    v_n = v0[0::4]
+    bounce = jnp.where(v_n < -cfg.restitution_threshold, -e * v_n, 0.0)
+    rhs_n = jnp.maximum(bounce, pushout)                    # Bullet takes max of the two
+
+    diag = jnp.diagonal(A)
+    inv_diag = 1.0 / jnp.maximum(diag + jnp.repeat(softness, 4), 1e-9)
+
+    def body(_, lam):
+        for g in range(G):
+            i_n, i_t1, i_t2, i_s = 4 * g, 4 * g + 1, 4 * g + 2, 4 * g + 3
+            # normal
+            v = v0[i_n] + A[i_n] @ lam
+            dl = (rhs_n[g] - v - softness[i_n] * lam[i_n]) * inv_diag[i_n]
+            lam_n = jnp.where(active[g], jnp.maximum(lam[i_n] + dl, 0.0), 0.0)
+            lam = lam.at[i_n].set(lam_n)
+            # friction (coupled clamp like Bullet: per-direction box clamp)
+            lim = mu[g] * lam_n
+            for i_t in (i_t1, i_t2):
+                v = v0[i_t] + A[i_t] @ lam
+                dl = (-v - softness[i_t] * lam[i_t]) * inv_diag[i_t]
+                lam_t = jnp.clip(lam[i_t] + dl, -lim, lim)
+                lam = lam.at[i_t].set(jnp.where(active[g], lam_t, 0.0))
+            # torsional
+            lim_s = mu_spin[g] * lam_n
+            v = v0[i_s] + A[i_s] @ lam
+            dl = (-v - softness[i_s] * lam[i_s]) * inv_diag[i_s]
+            lam_s = jnp.clip(lam[i_s] + dl, -lim_s, lim_s)
+            lam = lam.at[i_s].set(jnp.where(active[g], lam_s, 0.0))
+        return lam
+
+    lam = jax.lax.fori_loop(0, cfg.iterations, body, jnp.zeros(4 * G))
+    return qd_free + dyn.m_inv @ (J.T @ lam)

@@ -1,0 +1,120 @@
+"""Physics engine front-end: one 500 Hz substep and the 10-substep control step.
+
+The whole reference hot loop — ``changeDynamics`` contact writes + torque
+application + ``stepSimulation`` × control_skip (reference:
+my_pybullet_envs/hopper_env_v3.py:243-251,
+hopper_env_combined_policy.py:227-235) — compiles into a single
+``lax.scan`` inside one XLA program, ``vmap``-able over env replicas.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from simgan_tpu.core import maths
+from simgan_tpu.core.system import DomainParams, PhysState, System
+from simgan_tpu.physics.contact import ContactConfig, contact_impulses
+from simgan_tpu.physics.dynamics import compute_dynamics, joint_space_torques
+
+
+class PhysicsConfig(NamedTuple):
+    dt: float = 1.0 / 500.0            # reference physics rate (hopper_env_v3.py:60)
+    gravity: float = -10.0             # p.setGravity(0,0,-10) (hopper_env_v3.py:115)
+    contact: ContactConfig = ContactConfig()
+    base_pos: tuple = (0.0, 0.0, 0.0)  # world pose of the base for fixed_base systems
+    joint_limit_margin: float = 0.0
+
+
+def substep(
+    sys: System,
+    dp: DomainParams,
+    state: PhysState,
+    motor_torque: jax.Array,
+    cfg: PhysicsConfig,
+    ext_forces: jax.Array | None = None,
+) -> PhysState:
+    """One dt=1/500 step: smooth forces, contact impulses, semi-implicit Euler.
+
+    ``ext_forces``: optional (G, 3) world-frame forces applied at the contact
+    geom centers — used by the laikago random-push training mode
+    (laikago_env_v4.py:303-315, utils.apply_external_world_force_on_local_point).
+    """
+    base_pos = jnp.asarray(cfg.base_pos) if sys.fixed_base else None
+
+    tau, damp_diag = joint_space_torques(sys, dp, state.q, state.qd, motor_torque)
+    dyn = compute_dynamics(
+        sys, dp, state.q, state.qd, gravity=cfg.gravity, base_pos=base_pos,
+        damping_diag=damp_diag, dt=cfg.dt,
+    )
+    if ext_forces is not None:
+        from simgan_tpu.physics.kinematics import geom_world
+
+        p_geom, _ = geom_world(sys, dyn.kin)
+        for g in range(sys.n_geoms):
+            l = sys.geom_link[g]
+            r = p_geom[g] - dyn.kin.com[l]
+            j_pt = dyn.kin.jv[l] - maths.skew(r) @ dyn.kin.jw[l]
+            tau = tau + j_pt.T @ ext_forces[g]
+    # implicit joint damping: (M + dt D) qd⁺ = M qd + dt (tau - bias)
+    #   <=> qd⁺ = qd + M_eff⁻¹ (dt (tau - bias) - dt D qd)
+    qd_free = state.qd + dyn.m_inv @ (
+        cfg.dt * (tau - dyn.bias) - cfg.dt * damp_diag * state.qd
+    )
+    qd_new = contact_impulses(sys, dp, dyn, qd_free, cfg.dt, cfg.contact)
+
+    # --- integrate configuration ---
+    if sys.fixed_base:
+        q_new = state.q + cfg.dt * qd_new
+        jq, jqd = q_new, qd_new
+        joff = 0
+    else:
+        pos = state.q[0:3] + cfg.dt * qd_new[0:3]
+        quat = maths.quat_integrate(state.q[3:7], qd_new[3:6], cfg.dt)
+        jq = state.q[7:] + cfg.dt * qd_new[6:]
+        jqd = qd_new[6:]
+        joff = 6
+
+    # --- joint limits: projection (Bullet uses unilateral constraint rows;
+    # at 500 Hz a position projection with inward velocity zeroing is an
+    # accurate, cheap stand-in) ---
+    lo, hi = [], []
+    for i in range(sys.n_links):
+        if sys.dof_index[i] >= 0:
+            lo.append(sys.joint_lower[i])
+            hi.append(sys.joint_upper[i])
+    lo = jnp.stack(lo)
+    hi = jnp.stack(hi)
+    clipped = jnp.clip(jq, lo, hi)
+    at_lo = jq <= lo
+    at_hi = jq >= hi
+    jqd = jnp.where(at_lo & (jqd < 0), 0.0, jnp.where(at_hi & (jqd > 0), 0.0, jqd))
+
+    if sys.fixed_base:
+        return PhysState(q=clipped, qd=jqd)
+    q_out = jnp.concatenate([pos, quat, clipped])
+    qd_out = jnp.concatenate([qd_new[0:6], jqd])
+    return PhysState(q=q_out, qd=qd_out)
+
+
+def control_step(
+    sys: System,
+    dp: DomainParams,
+    state: PhysState,
+    motor_torque: jax.Array,
+    cfg: PhysicsConfig,
+    control_skip: int = 10,
+    ext_forces: jax.Array | None = None,
+) -> PhysState:
+    """control_skip x substep with constant torque (the 50 Hz control tick).
+
+    ``ext_forces``: optional (control_skip, G, 3) per-substep external forces.
+    """
+
+    def body(s, f):
+        return substep(sys, dp, s, motor_torque, cfg, ext_forces=f), None
+
+    out, _ = jax.lax.scan(body, state, ext_forces, length=control_skip)
+    return out

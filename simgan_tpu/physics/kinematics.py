@@ -1,0 +1,148 @@
+"""Forward kinematics and velocity Jacobians.
+
+The engine works in world coordinates: for every link we build the 3xNV
+angular Jacobian ``Jw`` and COM linear Jacobian ``Jv`` mapping the
+generalized velocity ``qd`` to world angular velocity / COM velocity.  Mass
+matrix, bias forces and contact Jacobians are all assembled from these
+(see dynamics.py).  Topology is static per robot, so all loops below unroll
+at trace time into straight-line XLA — no gathers, no dynamic control flow.
+
+Replaces the Bullet ``btMultiBody`` forward-kinematics driven through
+``getLinkState``/``getJointStates`` in the reference
+(my_pybullet_envs/hopper.py:134-165, laikago.py:295-327).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from simgan_tpu.core import maths
+from simgan_tpu.core.system import FREE, PRISMATIC, REVOLUTE, System
+
+
+class Kin(NamedTuple):
+    """World-frame kinematic quantities, all per-link."""
+
+    pos: jax.Array          # (L, 3) link frame origin
+    quat: jax.Array         # (L, 4) link frame orientation
+    com: jax.Array          # (L, 3) link COM
+    joint_anchor: jax.Array # (L, 3) joint origin (undefined for base)
+    joint_axis: jax.Array   # (L, 3) joint axis (undefined for base)
+    jw: jax.Array           # (L, 3, NV) angular velocity jacobian
+    jv: jax.Array           # (L, 3, NV) COM linear velocity jacobian
+
+
+def _base_pose(sys: System, q: jax.Array, base_pos, base_quat):
+    if sys.fixed_base:
+        pos = jnp.zeros(3) if base_pos is None else jnp.asarray(base_pos)
+        quat = maths.quat_identity() if base_quat is None else jnp.asarray(base_quat)
+        return pos, quat
+    return q[0:3], maths.quat_normalize(q[3:7])
+
+
+def forward_kinematics(sys: System, q: jax.Array, base_pos=None, base_quat=None) -> Kin:
+    """FK + Jacobians for a single robot configuration (vmap for batches)."""
+    nv = sys.nv
+    L = sys.n_links
+
+    pos = [None] * L
+    quat = [None] * L
+    com = [None] * L
+    anchor = [None] * L
+    axis_w = [None] * L
+    jw = [None] * L
+    jv = [None] * L
+
+    jq = sys.joint_q(q)
+
+    for i in range(L):
+        p = sys.parent[i]
+        if p < 0:
+            pos[i], quat[i] = _base_pose(sys, q, base_pos, base_quat)
+            com[i] = pos[i] + maths.quat_rotate(quat[i], sys.com[i])
+            anchor[i] = pos[i]
+            axis_w[i] = jnp.zeros(3)
+            if sys.fixed_base:
+                jw[i] = jnp.zeros((3, nv))
+                jv[i] = jnp.zeros((3, nv))
+            else:
+                # qd = [v_origin(3), omega_world(3), joints...]
+                jw_i = jnp.zeros((3, nv)).at[:, 3:6].set(jnp.eye(3))
+                r = com[i] - pos[i]
+                jv_i = jnp.zeros((3, nv)).at[:, 0:3].set(jnp.eye(3))
+                jv_i = jv_i.at[:, 3:6].set(-maths.skew(r))  # v_com = v_o + w x r
+                jw[i], jv[i] = jw_i, jv_i
+            continue
+
+        d = sys.dof_index[i]
+        qi = jq[d - (0 if sys.fixed_base else 6)]
+        # joint frame in world
+        j_pos = pos[p] + maths.quat_rotate(quat[p], sys.joint_pos[i])
+        j_quat = maths.quat_mul(quat[p], sys.joint_quat[i])
+        if sys.joint_type[i] == REVOLUTE:
+            rot = maths.quat_from_axis_angle(sys.joint_axis[i], qi)
+            quat[i] = maths.quat_mul(j_quat, rot)
+            pos[i] = j_pos
+        elif sys.joint_type[i] == PRISMATIC:
+            quat[i] = j_quat
+            pos[i] = j_pos + maths.quat_rotate(j_quat, sys.joint_axis[i] * qi)
+        else:  # pragma: no cover - fixed joints are merged at model build time
+            raise ValueError(f"unsupported joint type {sys.joint_type[i]}")
+
+        com[i] = pos[i] + maths.quat_rotate(quat[i], sys.com[i])
+        a_w = maths.quat_rotate(quat[i], sys.joint_axis[i])
+        anchor[i] = j_pos
+        axis_w[i] = a_w
+
+        # propagate jacobians from parent: same angular basis, shift linear to new COM
+        r_pc = com[i] - com[p]
+        jw_i = jw[p]
+        jv_i = jv[p] - maths.skew(r_pc) @ jw[p]
+        if sys.joint_type[i] == REVOLUTE:
+            jw_i = jw_i.at[:, d].set(a_w)
+            jv_i = jv_i.at[:, d].set(jnp.cross(a_w, com[i] - j_pos))
+        else:  # prismatic
+            jv_i = jv_i.at[:, d].set(a_w)
+        jw[i], jv[i] = jw_i, jv_i
+
+    return Kin(
+        pos=jnp.stack(pos),
+        quat=jnp.stack(quat),
+        com=jnp.stack(com),
+        joint_anchor=jnp.stack(anchor),
+        joint_axis=jnp.stack(axis_w),
+        jw=jnp.stack(jw),
+        jv=jnp.stack(jv),
+    )
+
+
+def config_tangent(sys: System, q: jax.Array, qd: jax.Array) -> jax.Array:
+    """Kinematic map: qdot = G(q) qd (for jvp-based Coriolis terms).
+
+    For the floating base the quaternion rate is
+    ``q̇ = 0.5 * [0, ω_world] ⊗ q``.
+    """
+    if sys.fixed_base:
+        return qd
+    quat = q[3:7]
+    omega = qd[3:6]
+    dquat = 0.5 * maths.quat_mul(jnp.concatenate([jnp.zeros(1), omega]), quat)
+    return jnp.concatenate([qd[0:3], dquat, qd[6:]])
+
+
+def geom_world(sys: System, kin: Kin) -> tuple[jax.Array, jax.Array]:
+    """World positions of contact-sphere centers and their link COM offsets.
+
+    Returns (pos (G,3), r (G,3)) with r = p_geom - com_link for jacobian shift.
+    """
+    ps = []
+    rs = []
+    for g in range(sys.n_geoms):
+        l = sys.geom_link[g]
+        p = kin.pos[l] + maths.quat_rotate(kin.quat[l], sys.geom_offset[g])
+        ps.append(p)
+        rs.append(p - kin.com[l])
+    return jnp.stack(ps), jnp.stack(rs)
