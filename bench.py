@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Benchmark of record: hybrid-sim env steps/sec on one TPU chip.
+
+Measures the SimGAN identification hot path — the HopperCombinedEnv control
+step with the frozen behavior policy fused in (contact-coefficient write +
+10x500Hz physics substeps + behavior MLP + window bookkeeping), vmapped over
+a large env batch, jitted as one XLA program on the real chip.
+
+The reference publishes no numbers (BASELINE.md); the driver-set north star
+is >=1M hybrid-sim env steps/sec on a v5e-8 slice, i.e. 125k steps/sec/chip.
+vs_baseline reports value / 125000.
+
+Prints exactly ONE JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BATCH = int(os.environ.get("SIMGAN_BENCH_BATCH", 4096))
+ITERS = int(os.environ.get("SIMGAN_BENCH_ITERS", 50))
+NORTH_STAR_PER_CHIP = 125_000.0
+
+
+def main():
+    from simgan_tpu.agents.networks import MLPPolicy, SplitPolicy, policy_act
+    from simgan_tpu.envs.hopper_combined import (HopperCombinedConfig,
+                                                 HopperCombinedEnv)
+
+    key = jax.random.PRNGKey(0)
+    k_b, k_d, k_env, k_run = jax.random.split(key, 4)
+
+    behavior = MLPPolicy(action_dim=3, hidden=64)
+    b_params = behavior.init(k_b, jnp.zeros((1, 11)))
+    env = HopperCombinedEnv(
+        HopperCombinedConfig(act_noise=True, obs_noise=True, behavior_logstd=-1.3),
+        behavior_model=behavior, behavior_params=b_params)
+
+    dyn = SplitPolicy(num_feet=1, hidden=100)
+    d_params = dyn.init(k_d, jnp.zeros((1, env.obs_dim)))
+
+    reset_keys = jax.random.split(k_env, BATCH)
+    states, obs = jax.jit(jax.vmap(env.reset))(reset_keys)
+
+    @jax.jit
+    def rollout_chunk(states, obs, key):
+        """One chunk of policy-act + env-step iterations (scanned)."""
+
+        def body(carry, k):
+            states, obs = carry
+            _, action, _ = policy_act(dyn, d_params, obs, k)
+            s = jax.vmap(env.step)(states, action)
+            return (s.state, s.obs), s.reward
+
+        keys = jax.random.split(key, ITERS)
+        (states, obs), rewards = jax.lax.scan(body, (states, obs), keys)
+        return states, obs, rewards.mean()
+
+    # warmup / compile
+    states, obs, _ = jax.block_until_ready(rollout_chunk(states, obs, k_run))
+
+    t0 = time.perf_counter()
+    n_chunks = 3
+    for i in range(n_chunks):
+        k_run, k = jax.random.split(k_run)
+        states, obs, r = rollout_chunk(states, obs, k)
+    jax.block_until_ready(states)
+    dt = time.perf_counter() - t0
+
+    steps = BATCH * ITERS * n_chunks
+    sps = steps / dt
+    print(json.dumps({
+        "metric": "hybrid_sim_env_steps_per_sec_per_chip",
+        "value": round(sps, 1),
+        "unit": "env_steps/s",
+        "vs_baseline": round(sps / NORTH_STAR_PER_CHIP, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

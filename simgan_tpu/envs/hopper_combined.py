@@ -105,8 +105,7 @@ class HopperCombinedEnv:
             assert behavior_model is not None and behavior_params is not None
             if config.behavior_logstd is not None:
                 behavior_params = networks.reset_logstd(
-                    behavior_params, config.behavior_logstd) if False else \
-                    networks.reset_logstd(behavior_model, behavior_params, config.behavior_logstd)
+                    behavior_model, behavior_params, config.behavior_logstd)
             self.obs_dim = OBS_DIM + ACT_DIM        # 14
             self.act_dim = DYN_ACT_DIM              # 7
         else:
