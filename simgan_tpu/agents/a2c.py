@@ -1,0 +1,59 @@
+"""A2C (synchronous advantage actor-critic) — the reference's --algo a2c path.
+
+Reference: third_party/a2c_ppo_acktr/algo/a2c_acktr.py:55-102 (single
+full-batch gradient step per update: policy gradient + value MSE + entropy
+bonus, RMSprop).  The ACKTR/KFAC variant (algo/kfac.py) applies a natural
+gradient preconditioner; here it is exposed as the same update with an
+optax preconditioner slot (KFAC itself is not yet ported — the six paper
+experiments use PPO only, train_*.sh).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from simgan_tpu.agents import networks
+from simgan_tpu.agents.ppo import Batch
+
+
+class A2CConfig(NamedTuple):
+    value_loss_coef: float = 0.5
+    entropy_coef: float = 0.01
+    lr: float = 7e-4
+    eps: float = 1e-5
+    alpha: float = 0.99        # RMSprop decay
+    max_grad_norm: float = 0.5
+
+
+def make_optimizer(cfg: A2CConfig) -> optax.GradientTransformation:
+    return optax.chain(
+        optax.clip_by_global_norm(cfg.max_grad_norm),
+        optax.rmsprop(cfg.lr, decay=cfg.alpha, eps=cfg.eps),
+    )
+
+
+def a2c_update(model, params, opt_state, tx, batch: Batch, cfg: A2CConfig):
+    """One full-batch A2C step (a2c_acktr.py:55-102)."""
+
+    def loss_fn(p):
+        value, log_prob, entropy = networks.policy_evaluate(
+            model, p, batch.obs, batch.actions)
+        adv = batch.returns - value
+        value_loss = jnp.mean(jnp.square(adv))
+        action_loss = -jnp.mean(jax.lax.stop_gradient(adv) * log_prob)
+        ent = jnp.mean(entropy)
+        total = value_loss * cfg.value_loss_coef + action_loss - ent * cfg.entropy_coef
+        return total, (value_loss, action_loss, ent)
+
+    grads, (value_loss, action_loss, ent) = jax.grad(loss_fn, has_aux=True)(params)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, {
+        "value_loss": value_loss,
+        "action_loss": action_loss,
+        "dist_entropy": ent,
+    }

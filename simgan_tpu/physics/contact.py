@@ -128,31 +128,30 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg) -> jax.Array:
     bounce = jnp.where(v_n < -cfg.restitution_threshold, -e * v_n, 0.0)
     rhs_n = jnp.maximum(bounce, pushout)                    # Bullet takes max of the two
 
-    diag = jnp.diagonal(A)
-    inv_diag = 1.0 / jnp.maximum(diag + jnp.repeat(softness, 4), 1e-9)
+    R = 4 * G
+    softness_r = jnp.repeat(softness, 4)
+    inv_diag = 1.0 / jnp.maximum(jnp.diagonal(A) + softness_r, 1e-9)
 
-    def body(_, lam):
-        for g in range(G):
-            i_n, i_t1, i_t2, i_s = 4 * g, 4 * g + 1, 4 * g + 2, 4 * g + 3
-            # normal
-            v = v0[i_n] + A[i_n] @ lam
-            dl = (rhs_n[g] - v - softness[i_n] * lam[i_n]) * inv_diag[i_n]
-            lam_n = jnp.where(active[g], jnp.maximum(lam[i_n] + dl, 0.0), 0.0)
-            lam = lam.at[i_n].set(lam_n)
-            # friction (coupled clamp like Bullet: per-direction box clamp)
-            lim = mu[g] * lam_n
-            for i_t in (i_t1, i_t2):
-                v = v0[i_t] + A[i_t] @ lam
-                dl = (-v - softness[i_t] * lam[i_t]) * inv_diag[i_t]
-                lam_t = jnp.clip(lam[i_t] + dl, -lim, lim)
-                lam = lam.at[i_t].set(jnp.where(active[g], lam_t, 0.0))
-            # torsional
-            lim_s = mu_spin[g] * lam_n
-            v = v0[i_s] + A[i_s] @ lam
-            dl = (-v - softness[i_s] * lam[i_s]) * inv_diag[i_s]
-            lam_s = jnp.clip(lam[i_s] + dl, -lim_s, lim_s)
-            lam = lam.at[i_s].set(jnp.where(active[g], lam_s, 0.0))
-        return lam
+    # Per-row static metadata for a rolled Gauss-Seidel sweep (row body is
+    # traced ONCE instead of unrolling geoms x rows x iterations — large
+    # compile-time win; runtime is identical tiny sequential math).
+    row_type = jnp.tile(jnp.arange(4), G)                  # 0=n,1=t1,2=t2,3=spin
+    row_geom = jnp.repeat(jnp.arange(G), 4)
+    rhs = jnp.where(row_type == 0, rhs_n[row_geom], 0.0)   # (R,)
+    active_r = active[row_geom]
+    mu_r = jnp.where(row_type == 3, mu_spin[row_geom], mu[row_geom])
 
-    lam = jax.lax.fori_loop(0, cfg.iterations, body, jnp.zeros(4 * G))
+    def row_body(i, lam):
+        r = i % R
+        a_row = jax.lax.dynamic_slice_in_dim(A, r, 1, 0)[0]
+        v = v0[r] + a_row @ lam
+        cand = lam[r] + (rhs[r] - v - softness_r[r] * lam[r]) * inv_diag[r]
+        lam_n = lam[(r // 4) * 4]                          # this contact's normal impulse
+        is_normal = row_type[r] == 0
+        lo = jnp.where(is_normal, 0.0, -mu_r[r] * lam_n)
+        hi = jnp.where(is_normal, jnp.inf, mu_r[r] * lam_n)
+        new = jnp.where(active_r[r], jnp.clip(cand, lo, hi), 0.0)
+        return lam.at[r].set(new)
+
+    lam = jax.lax.fori_loop(0, cfg.iterations * R, row_body, jnp.zeros(R))
     return qd_free + dyn.m_inv @ (J.T @ lam)
