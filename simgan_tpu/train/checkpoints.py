@@ -58,13 +58,12 @@ def _unflatten(flat):
 
 def save_policy(policy_dir: str, env_name: str, model, params, iter_num=None, disc=False):
     os.makedirs(policy_dir, exist_ok=True)
+    fields = {f for f in getattr(model, "__dataclass_fields__", {})
+              if f not in ("parent", "name")}
     meta = {
         "model": type(model).__name__,
-        "kwargs": {
-            k: getattr(model, k)
-            for k in ("action_dim", "hidden", "num_feet")
-            if hasattr(model, k)
-        },
+        "kwargs": {k: getattr(model, k) for k in ("action_dim", "hidden", "num_feet")
+                   if k in fields},
     }
     path = _ckpt_dir(policy_dir, env_name, iter_num, disc)
     flat = _flatten(jax.device_get(params))
