@@ -113,9 +113,11 @@ class HopperCombinedEnv:
             self.obs_dim = OBS_DIM                  # 11
             self.act_dim = ACT_DIM                  # 3
         self.behavior_model = behavior_model
-        self.behavior_params = behavior_params
+        self.behavior_params = (None if behavior_params is None
+                                else jax.tree.map(jnp.asarray, behavior_params))
         self.dyn_model = dyn_model
-        self.dyn_ensemble_params = dyn_ensemble_params
+        self.dyn_ensemble_params = (None if dyn_ensemble_params is None
+                                    else jax.tree.map(jnp.asarray, dyn_ensemble_params))
         if dyn_ensemble_params is not None:
             self.n_ensemble = jax.tree.leaves(dyn_ensemble_params)[0].shape[0]
 
