@@ -57,6 +57,7 @@ def compute_dynamics(
     base_quat=None,
     damping_diag: jax.Array | None = None,
     dt: float = 0.0,
+    explicit_cholesky: bool = False,
 ) -> Dyn:
     """Assemble M, bias and M⁻¹ for one robot state.
 
@@ -69,12 +70,14 @@ def compute_dynamics(
 
     with jax.default_matmul_precision("highest"):
         return _compute_dynamics_f32(
-            sys, dp, q, qd, gravity, base_pos, base_quat, damping_diag, dt
+            sys, dp, q, qd, gravity, base_pos, base_quat, damping_diag, dt,
+            explicit_cholesky,
         )
 
 
 def _compute_dynamics_f32(
-    sys, dp, q, qd, gravity, base_pos, base_quat, damping_diag=None, dt=0.0
+    sys, dp, q, qd, gravity, base_pos, base_quat, damping_diag=None, dt=0.0,
+    explicit_cholesky=False,
 ) -> Dyn:
     nv = sys.nv
 
@@ -111,8 +114,13 @@ def _compute_dynamics_f32(
     # damping (M + dt·D); used for both smooth-force integration and the
     # contact impulse response, keeping the two consistent.
     M_eff = M if damping_diag is None else M + dt * jnp.diag(damping_diag)
-    chol = jax.scipy.linalg.cho_factor(M_eff)
-    m_inv = jax.scipy.linalg.cho_solve(chol, jnp.eye(nv))
+    if explicit_cholesky:
+        from simgan_tpu.physics.linalg import spd_inverse
+
+        m_inv = spd_inverse(M_eff)
+    else:
+        chol = jax.scipy.linalg.cho_factor(M_eff)
+        m_inv = jax.scipy.linalg.cho_solve(chol, jnp.eye(nv))
 
     return Dyn(kin=kin, mass_matrix=M, bias=bias, m_inv=m_inv)
 
@@ -130,17 +138,18 @@ def joint_space_torques(
     ``(M + dt D) qd⁺ = M qd + dt (tau - bias)`` — which is unconditionally
     stable for the large damping values domain randomization can draw.
     """
+    # Build per-dof lists at trace time (no scatters -> full XLA fusion).
     nv = sys.nv
-    tau = jnp.zeros(nv)
-    damp_diag = jnp.zeros(nv)
+    zero = jnp.zeros(())
+    tau = [zero] * nv
+    damp = [zero] * nv
     for i in range(sys.n_links):
         d = sys.dof_index[i]
         if d < 0:
             continue
-        damp_diag = damp_diag.at[d].set(dp.joint_damping[i])
-        fric = -sys.joint_friction[i] * jnp.tanh(qd[d] / 0.01)
-        tau = tau.at[d].add(fric)
+        damp[d] = dp.joint_damping[i]
+        tau[d] = tau[d] - sys.joint_friction[i] * jnp.tanh(qd[d] / 0.01)
     for a_idx, link in enumerate(sys.actuated):
         d = sys.dof_index[link]
-        tau = tau.at[d].add(motor_torque[a_idx])
-    return tau, damp_diag
+        tau[d] = tau[d] + motor_torque[a_idx]
+    return jnp.stack(tau), jnp.stack(damp)

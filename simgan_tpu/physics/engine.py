@@ -26,6 +26,9 @@ class PhysicsConfig(NamedTuple):
     contact: ContactConfig = ContactConfig()
     base_pos: tuple = (0.0, 0.0, 0.0)  # world pose of the base for fixed_base systems
     joint_limit_margin: float = 0.0
+    # use the unrolled jnp Cholesky (physics/linalg.py) instead of the LAPACK
+    # custom call — required inside Pallas kernels
+    explicit_cholesky: bool = False
 
 
 def substep(
@@ -48,6 +51,7 @@ def substep(
     dyn = compute_dynamics(
         sys, dp, state.q, state.qd, gravity=cfg.gravity, base_pos=base_pos,
         damping_diag=damp_diag, dt=cfg.dt,
+        explicit_cholesky=cfg.explicit_cholesky,
     )
     if ext_forces is not None:
         from simgan_tpu.physics.kinematics import geom_world

@@ -5,7 +5,13 @@ angular Jacobian ``Jw`` and COM linear Jacobian ``Jv`` mapping the
 generalized velocity ``qd`` to world angular velocity / COM velocity.  Mass
 matrix, bias forces and contact Jacobians are all assembled from these
 (see dynamics.py).  Topology is static per robot, so all loops below unroll
-at trace time into straight-line XLA — no gathers, no dynamic control flow.
+at trace time into straight-line XLA.
+
+Performance note (TPU): Jacobians are propagated as *per-dof column lists*
+of (3,) vectors — pure elementwise math with a single stack at the end — so
+no scatter/dynamic-update-slice ops break XLA fusion on the 500 Hz hot path
+(scatters cost ~10-20us each at batch 4096; the original scatter-based
+assembly dominated the substep).
 
 Replaces the Bullet ``btMultiBody`` forward-kinematics driven through
 ``getLinkState``/``getJointStates`` in the reference
@@ -47,14 +53,16 @@ def forward_kinematics(sys: System, q: jax.Array, base_pos=None, base_quat=None)
     """FK + Jacobians for a single robot configuration (vmap for batches)."""
     nv = sys.nv
     L = sys.n_links
+    zero3 = jnp.zeros(3)
 
     pos = [None] * L
     quat = [None] * L
     com = [None] * L
     anchor = [None] * L
     axis_w = [None] * L
-    jw = [None] * L
-    jv = [None] * L
+    # per-link jacobians as per-dof column lists: jw_cols[i][d] is (3,)
+    jw_cols = [None] * L
+    jv_cols = [None] * L
 
     jq = sys.joint_q(q)
 
@@ -64,17 +72,17 @@ def forward_kinematics(sys: System, q: jax.Array, base_pos=None, base_quat=None)
             pos[i], quat[i] = _base_pose(sys, q, base_pos, base_quat)
             com[i] = pos[i] + maths.quat_rotate(quat[i], sys.com[i])
             anchor[i] = pos[i]
-            axis_w[i] = jnp.zeros(3)
+            axis_w[i] = zero3
             if sys.fixed_base:
-                jw[i] = jnp.zeros((3, nv))
-                jv[i] = jnp.zeros((3, nv))
+                jw_cols[i] = [zero3] * nv
+                jv_cols[i] = [zero3] * nv
             else:
                 # qd = [v_origin(3), omega_world(3), joints...]
-                jw_i = jnp.zeros((3, nv)).at[:, 3:6].set(jnp.eye(3))
                 r = com[i] - pos[i]
-                jv_i = jnp.zeros((3, nv)).at[:, 0:3].set(jnp.eye(3))
-                jv_i = jv_i.at[:, 3:6].set(-maths.skew(r))  # v_com = v_o + w x r
-                jw[i], jv[i] = jw_i, jv_i
+                e = [jnp.array([1.0, 0, 0]), jnp.array([0.0, 1, 0]), jnp.array([0.0, 0, 1])]
+                jw_cols[i] = [zero3] * 3 + e + [zero3] * (nv - 6)
+                # v_com = v_o + w x r  =>  col_k (rot part) = e_k x r
+                jv_cols[i] = e + [jnp.cross(e_k, r) for e_k in e] + [zero3] * (nv - 6)
             continue
 
         d = sys.dof_index[i]
@@ -97,25 +105,27 @@ def forward_kinematics(sys: System, q: jax.Array, base_pos=None, base_quat=None)
         anchor[i] = j_pos
         axis_w[i] = a_w
 
-        # propagate jacobians from parent: same angular basis, shift linear to new COM
+        # propagate columns: same angular basis, shift linear to the new COM
         r_pc = com[i] - com[p]
-        jw_i = jw[p]
-        jv_i = jv[p] - maths.skew(r_pc) @ jw[p]
+        jw_i = list(jw_cols[p])
+        jv_i = [jv_cols[p][k] + jnp.cross(jw_cols[p][k], r_pc) for k in range(nv)]
         if sys.joint_type[i] == REVOLUTE:
-            jw_i = jw_i.at[:, d].set(a_w)
-            jv_i = jv_i.at[:, d].set(jnp.cross(a_w, com[i] - j_pos))
+            jw_i[d] = a_w
+            jv_i[d] = jnp.cross(a_w, com[i] - j_pos)
         else:  # prismatic
-            jv_i = jv_i.at[:, d].set(a_w)
-        jw[i], jv[i] = jw_i, jv_i
+            jv_i[d] = a_w
+        jw_cols[i], jv_cols[i] = jw_i, jv_i
 
+    jw = jnp.stack([jnp.stack(cols, axis=-1) for cols in jw_cols])
+    jv = jnp.stack([jnp.stack(cols, axis=-1) for cols in jv_cols])
     return Kin(
         pos=jnp.stack(pos),
         quat=jnp.stack(quat),
         com=jnp.stack(com),
         joint_anchor=jnp.stack(anchor),
         joint_axis=jnp.stack(axis_w),
-        jw=jnp.stack(jw),
-        jv=jnp.stack(jv),
+        jw=jw,
+        jv=jv,
     )
 
 
