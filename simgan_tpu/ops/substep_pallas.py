@@ -71,14 +71,15 @@ def pallas_control_step(
         dp_tile = jax.tree.unflatten(dp_def, leaves[:n_dp])
         sys_k = jax.tree.unflatten(sys_def, leaves[n_dp:])
 
-        def one_substep(carry, _):
+        def one_substep(_, carry):
             cq, cqd = carry
             st = jax.vmap(
                 lambda q_, qd_, t_, d_: substep(sys_k, d_, PhysState(q=q_, qd=qd_), t_, cfg)
             )(cq, cqd, torque, dp_tile)
-            return (st.q, st.qd), None
+            return (st.q, st.qd)
 
-        (q, qd), _ = jax.lax.scan(one_substep, (q, qd), None, length=control_skip)
+        # fori_loop, not scan: Mosaic lowers fori_loop natively
+        q, qd = jax.lax.fori_loop(0, control_skip, one_substep, (q, qd))
         return q, qd
 
     tile_examples = (

@@ -37,6 +37,7 @@ import jax.numpy as jnp
 
 from simgan_tpu.core import maths
 from simgan_tpu.core.system import DomainParams, System
+from simgan_tpu.physics import smallmm
 from simgan_tpu.physics.dynamics import Dyn
 from simgan_tpu.physics.kinematics import geom_world
 
@@ -119,29 +120,29 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg) -> jax.Array:
         l = sys.geom_link[g]
         # contact point at the bottom of the sphere
         r = (p_geom[g] - jnp.array([0.0, 0.0, 1.0]) * sys.geom_radius[g]) - kin.com[l]
-        j_pt = kin.jv[l] - maths.skew(r) @ kin.jw[l]        # (3, NV)
-        rows.append(n_vec @ j_pt)
-        rows.append(t1 @ j_pt)
-        rows.append(t2 @ j_pt)
-        rows.append(n_vec @ kin.jw[l])                      # torsional row
+        j_pt = kin.jv[l] - smallmm.mm(maths.skew(r), kin.jw[l])  # (3, NV)
+        rows.append(smallmm.vm(n_vec, j_pt))
+        rows.append(smallmm.vm(t1, j_pt))
+        rows.append(smallmm.vm(t2, j_pt))
+        rows.append(smallmm.vm(n_vec, kin.jw[l]))           # torsional row
     J = jnp.stack(rows)                                     # (4G, NV)
 
-    A = J @ dyn.m_inv @ J.T                                 # (4G, 4G)
-    v0 = J @ qd_free                                        # row velocities pre-impulse
+    A = smallmm.mm(smallmm.mm(J, dyn.m_inv), J.T)           # (4G, 4G)
+    v0 = smallmm.mv(J, qd_free)                             # row velocities pre-impulse
 
     # restitution bias on normal rows from the *pre-contact* approach speed
-    v_n = v0[0::4]
+    # (static-index stack, not a strided slice: strided slices become gathers
+    # under vmap, which Mosaic cannot lower)
+    v_n = jnp.stack([v0[..., 4 * g] for g in range(G)], axis=-1)
     bounce = jnp.where(v_n < -cfg.restitution_threshold, -e * v_n, 0.0)
     rhs_n = jnp.maximum(bounce, pushout)                    # Bullet takes max of the two
 
     R = 4 * G
-    softness_r = jnp.repeat(softness, 4)
-    inv_diag = 1.0 / jnp.maximum(jnp.diagonal(A) + softness_r, 1e-9)
 
     if cfg.unroll:
         # Fully unrolled Gauss-Seidel over scalars: every update is a chain of
-        # elementwise ops over the (vmapped) batch — XLA fuses the whole sweep
-        # into a few kernels, no scatters, no loop-iteration overhead.
+        # elementwise ops over the (vmapped) batch — no scatters, no gathers,
+        # no loop-iteration overhead; this is the Pallas-kernel path.
         lam = [jnp.zeros(()) for _ in range(R)]
         for _ in range(cfg.iterations):
             for g in range(G):
@@ -152,7 +153,8 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg) -> jax.Array:
                     for k in range(R):
                         v = v + A[r, k] * lam[k]
                     rhs_r = rhs_n[g] if t == 0 else 0.0
-                    cand = lam[r] + (rhs_r - v - softness_r[r] * lam[r]) * inv_diag[r]
+                    inv_d = 1.0 / jnp.maximum(A[r, r] + softness[g], 1e-9)
+                    cand = lam[r] + (rhs_r - v - softness[g] * lam[r]) * inv_d
                     if t == 0:
                         new = jnp.maximum(cand, 0.0)
                     else:
@@ -160,7 +162,11 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg) -> jax.Array:
                         new = jnp.clip(cand, -lim, lim)
                     lam[r] = jnp.where(active[g], new, 0.0)
         lam = jnp.stack(lam)
-        return qd_free + dyn.m_inv @ (J.T @ lam)
+        return qd_free + smallmm.mv(dyn.m_inv, smallmm.mv(J.T, lam))
+
+    softness_r = jnp.repeat(softness, 4)
+    a_diag = jnp.sum(A * jnp.eye(R), axis=-1)   # Mosaic-safe diagonal
+    inv_diag = 1.0 / jnp.maximum(a_diag + softness_r, 1e-9)
 
     # Rolled variant: per-row metadata + fori_loop (compact compile graph).
     row_type = jnp.tile(jnp.arange(4), G)                  # 0=n,1=t1,2=t2,3=spin
@@ -172,7 +178,7 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg) -> jax.Array:
     def row_body(i, lam):
         r = i % R
         a_row = jax.lax.dynamic_slice_in_dim(A, r, 1, 0)[0]
-        v = v0[r] + a_row @ lam
+        v = v0[r] + jnp.sum(a_row * lam)
         cand = lam[r] + (rhs[r] - v - softness_r[r] * lam[r]) * inv_diag[r]
         lam_n = lam[(r // 4) * 4]                          # this contact's normal impulse
         is_normal = row_type[r] == 0
@@ -182,4 +188,4 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg) -> jax.Array:
         return lam.at[r].set(new)
 
     lam = jax.lax.fori_loop(0, cfg.iterations * R, row_body, jnp.zeros(R))
-    return qd_free + dyn.m_inv @ (J.T @ lam)
+    return qd_free + smallmm.mv(dyn.m_inv, smallmm.mv(J.T, lam))

@@ -28,6 +28,7 @@ import jax.numpy as jnp
 from simgan_tpu.core import maths
 from simgan_tpu.core.system import System
 from simgan_tpu.core.system import DomainParams
+from simgan_tpu.physics import smallmm
 from simgan_tpu.physics.kinematics import Kin, config_tangent, forward_kinematics
 
 
@@ -38,13 +39,11 @@ class Dyn(NamedTuple):
     m_inv: jax.Array         # (NV, NV) inverse mass matrix (small, dense)
 
 
-def _link_inertias(sys: System, dp: DomainParams, kin: Kin):
-    """World-frame rotational inertia and scaled masses per link."""
-    masses = sys.mass * dp.mass_scale
-    R = jax.vmap(maths.quat_to_mat)(kin.quat)  # (L,3,3)
-    I_local = sys.inertia * dp.inertia_scale[:, None, None]
-    I_world = R @ I_local @ jnp.swapaxes(R, -1, -2)
-    return masses, I_world
+def _link_inertia_world(sys: System, dp: DomainParams, kin: Kin, i: int):
+    """World-frame rotational inertia of link i (3,3)."""
+    R = maths.quat_to_mat(kin.quat[i])
+    I_local = sys.inertia[i] * dp.inertia_scale[i]
+    return smallmm.mm(smallmm.mm(R, I_local), jnp.swapaxes(R, -1, -2))
 
 
 def compute_dynamics(
@@ -89,23 +88,27 @@ def _compute_dynamics_f32(
     jw, jv = kin.jw, kin.jv
     djw, djv = dkin.jw, dkin.jv
 
-    masses, I_world = _link_inertias(sys, dp, kin)
-
-    # mass matrix
-    # (L,3,NV) contributions
-    mJv = masses[:, None, None] * jv
-    IJw = I_world @ jw
-    M = jnp.einsum("lax,lay->xy", jv, mJv) + jnp.einsum("lax,lay->xy", jw, IJw)
-
-    # bias
-    omega = jnp.einsum("lax,x->la", jw, qd)          # (L,3) world angular velocities
-    a_bias = jnp.einsum("lax,x->la", djv, qd)        # (L,3) COM acc with qdd=0
-    alpha_bias = jnp.einsum("lax,x->la", djw, qd)    # (L,3)
-    gyro = jnp.cross(omega, jnp.einsum("lab,lb->la", I_world, omega))
+    # --- per-link accumulation (everything stays rank <= 2 + batch) ---
     g_vec = jnp.array([0.0, 0.0, gravity])
-    f_lin = masses[:, None] * (a_bias - g_vec)       # force needed at COM minus gravity
-    t_ang = jnp.einsum("lab,lb->la", I_world, alpha_bias) + gyro
-    bias = jnp.einsum("lax,la->x", jv, f_lin) + jnp.einsum("lax,la->x", jw, t_ang)
+    M = jnp.zeros((nv, nv))
+    bias = jnp.zeros(nv)
+    for i in range(sys.n_links):
+        m_i = sys.mass[i] * dp.mass_scale[i]
+        jv_i, jw_i = jv[i], jw[i]                  # (3, NV)
+        I_w = _link_inertia_world(sys, dp, kin, i)  # (3, 3)
+
+        # mass matrix: jvᵀ m jv + jwᵀ I jw
+        M = M + m_i * smallmm.mtm(jv_i, jv_i)
+        M = M + smallmm.mtm(jw_i, smallmm.mm(I_w, jw_i))
+
+        # bias: Coriolis (J̇ qd terms) + gyroscopic + gravity
+        omega = smallmm.mv(jw_i, qd)
+        a_bias = smallmm.mv(djv[i], qd)
+        alpha_bias = smallmm.mv(djw[i], qd)
+        gyro = jnp.cross(omega, smallmm.mv(I_w, omega))
+        f_lin = m_i * (a_bias - g_vec)
+        t_ang = smallmm.mv(I_w, alpha_bias) + gyro
+        bias = bias + smallmm.vm(f_lin, jv_i) + smallmm.vm(t_ang, jw_i)
 
     # regularize: rows/cols of massless chain prefixes still get mass from
     # descendants; tiny epsilon keeps the Cholesky safe under float32.
@@ -113,7 +116,8 @@ def _compute_dynamics_f32(
     # m_inv is the *effective* inverse inertia including implicit joint
     # damping (M + dt·D); used for both smooth-force integration and the
     # contact impulse response, keeping the two consistent.
-    M_eff = M if damping_diag is None else M + dt * jnp.diag(damping_diag)
+    # eye-mask instead of jnp.diag (diag lowers poorly in Mosaic)
+    M_eff = M if damping_diag is None else M + dt * (jnp.eye(nv) * damping_diag)
     if explicit_cholesky:
         from simgan_tpu.physics.linalg import spd_inverse
 

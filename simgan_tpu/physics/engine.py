@@ -16,6 +16,7 @@ import jax.numpy as jnp
 
 from simgan_tpu.core import maths
 from simgan_tpu.core.system import DomainParams, PhysState, System
+from simgan_tpu.physics import smallmm
 from simgan_tpu.physics.contact import ContactConfig, contact_impulses
 from simgan_tpu.physics.dynamics import compute_dynamics, joint_space_torques
 
@@ -60,12 +61,12 @@ def substep(
         for g in range(sys.n_geoms):
             l = sys.geom_link[g]
             r = p_geom[g] - dyn.kin.com[l]
-            j_pt = dyn.kin.jv[l] - maths.skew(r) @ dyn.kin.jw[l]
-            tau = tau + j_pt.T @ ext_forces[g]
+            j_pt = dyn.kin.jv[l] - smallmm.mm(maths.skew(r), dyn.kin.jw[l])
+            tau = tau + smallmm.vm(ext_forces[g], j_pt)
     # implicit joint damping: (M + dt D) qd⁺ = M qd + dt (tau - bias)
     #   <=> qd⁺ = qd + M_eff⁻¹ (dt (tau - bias) - dt D qd)
-    qd_free = state.qd + dyn.m_inv @ (
-        cfg.dt * (tau - dyn.bias) - cfg.dt * damp_diag * state.qd
+    qd_free = state.qd + smallmm.mv(
+        dyn.m_inv, cfg.dt * (tau - dyn.bias) - cfg.dt * damp_diag * state.qd
     )
     qd_new = contact_impulses(sys, dp, dyn, qd_free, cfg.dt, cfg.contact)
 

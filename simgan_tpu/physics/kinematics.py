@@ -30,15 +30,22 @@ from simgan_tpu.core.system import FREE, PRISMATIC, REVOLUTE, System
 
 
 class Kin(NamedTuple):
-    """World-frame kinematic quantities, all per-link."""
+    """World-frame kinematic quantities.
 
-    pos: jax.Array          # (L, 3) link frame origin
-    quat: jax.Array         # (L, 4) link frame orientation
-    com: jax.Array          # (L, 3) link COM
-    joint_anchor: jax.Array # (L, 3) joint origin (undefined for base)
-    joint_axis: jax.Array   # (L, 3) joint axis (undefined for base)
-    jw: jax.Array           # (L, 3, NV) angular velocity jacobian
-    jv: jax.Array           # (L, 3, NV) COM linear velocity jacobian
+    All fields are *per-link tuples* (length L) of arrays — not stacked —
+    so that downstream math never builds tensors above rank 3 under a vmap
+    batch (Mosaic's vector-layout ceiling; also keeps everything
+    fusion-friendly for XLA).  Indexing ``kin.com[l]`` works the same as a
+    stacked array would.
+    """
+
+    pos: tuple          # L x (3,) link frame origin
+    quat: tuple         # L x (4,) link frame orientation
+    com: tuple          # L x (3,) link COM
+    joint_anchor: tuple # L x (3,) joint origin (undefined for base)
+    joint_axis: tuple   # L x (3,) joint axis (undefined for base)
+    jw: tuple           # L x (3, NV) angular velocity jacobian
+    jv: tuple           # L x (3, NV) COM linear velocity jacobian
 
 
 def _base_pose(sys: System, q: jax.Array, base_pos, base_quat):
@@ -116,16 +123,14 @@ def forward_kinematics(sys: System, q: jax.Array, base_pos=None, base_quat=None)
             jv_i[d] = a_w
         jw_cols[i], jv_cols[i] = jw_i, jv_i
 
-    jw = jnp.stack([jnp.stack(cols, axis=-1) for cols in jw_cols])
-    jv = jnp.stack([jnp.stack(cols, axis=-1) for cols in jv_cols])
     return Kin(
-        pos=jnp.stack(pos),
-        quat=jnp.stack(quat),
-        com=jnp.stack(com),
-        joint_anchor=jnp.stack(anchor),
-        joint_axis=jnp.stack(axis_w),
-        jw=jw,
-        jv=jv,
+        pos=tuple(pos),
+        quat=tuple(quat),
+        com=tuple(com),
+        joint_anchor=tuple(anchor),
+        joint_axis=tuple(axis_w),
+        jw=tuple(jnp.stack(cols, axis=-1) for cols in jw_cols),
+        jv=tuple(jnp.stack(cols, axis=-1) for cols in jv_cols),
     )
 
 

@@ -127,7 +127,7 @@ def test_hopper_lagrangian_bias_crosscheck():
 
     def potential(q_):
         k = forward_kinematics(sys, q_, base_pos=base)
-        return jnp.sum(10.0 * sys.mass * k.com[:, 2])  # g = 10
+        return jnp.sum(10.0 * sys.mass * jnp.stack(k.com)[:, 2])  # g = 10
 
     mdot_qd = jax.jvp(lambda q_: mass_mat(q_) @ qd, (q,), (qd,))[1]
     bias_ref = mdot_qd - jax.grad(kinetic)(q, qd) + jax.grad(potential)(q)
@@ -158,7 +158,7 @@ def test_energy_conservation_pendulum_mode():
     def energy(s):
         dyn = compute_dynamics(sys, dp, s.q, s.qd, base_pos=jnp.asarray(BASE_INIT_POS))
         k = dyn.kin
-        return 0.5 * s.qd @ dyn.mass_matrix @ s.qd + jnp.sum(10.0 * sys.mass * k.com[:, 2])
+        return 0.5 * s.qd @ dyn.mass_matrix @ s.qd + jnp.sum(10.0 * sys.mass * jnp.stack(k.com)[:, 2])
 
     e0 = float(energy(st))
     step = jax.jit(lambda s: substep(sys, dp, s, jnp.zeros(3), cfg))
