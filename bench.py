@@ -21,8 +21,8 @@ import time
 import jax
 import jax.numpy as jnp
 
-BATCH = int(os.environ.get("SIMGAN_BENCH_BATCH", 4096))
-ITERS = int(os.environ.get("SIMGAN_BENCH_ITERS", 50))
+BATCH = int(os.environ.get("SIMGAN_BENCH_BATCH", 8192))
+ITERS = int(os.environ.get("SIMGAN_BENCH_ITERS", 25))
 NORTH_STAR_PER_CHIP = 125_000.0
 
 
