@@ -140,6 +140,53 @@ def normal_sample(key, mean, logstd):
     return mean + jnp.exp(logstd) * jax.random.normal(key, mean.shape)
 
 
+# --- discrete-action heads (reference Categorical/Bernoulli,
+# distributions.py:33-48, 63-88, 157-168; unused by the six experiments but
+# part of the Policy surface for Discrete/MultiBinary action spaces) ---
+
+
+def categorical_log_prob(logits, actions):
+    logp = jax.nn.log_softmax(logits)
+    return jnp.take_along_axis(logp, actions[..., None], axis=-1)[..., 0]
+
+
+def categorical_entropy(logits):
+    logp = jax.nn.log_softmax(logits)
+    return -jnp.sum(jnp.exp(logp) * logp, axis=-1)
+
+
+def categorical_sample(key, logits):
+    return jax.random.categorical(key, logits, axis=-1)
+
+
+def bernoulli_log_prob(logits, actions):
+    lp = -jnp.maximum(logits, 0) + logits * actions - jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    return jnp.sum(lp, axis=-1)
+
+
+def bernoulli_entropy(logits):
+    p = jax.nn.sigmoid(logits)
+    eps = 1e-7
+    return -jnp.sum(p * jnp.log(p + eps) + (1 - p) * jnp.log(1 - p + eps), axis=-1)
+
+
+class CategoricalPolicy(nn.Module):
+    """Actor-critic with a categorical head (reference Policy + Categorical)."""
+
+    num_actions: int
+    hidden: int = 64
+
+    @nn.compact
+    def __call__(self, obs):
+        actor_h = _Trunk(self.hidden, name="actor")(obs)
+        critic_h = _Trunk(self.hidden, name="critic")(obs)
+        value = nn.Dense(1, kernel_init=_ortho(1.0),
+                         bias_init=nn.initializers.zeros, name="critic_linear")(critic_h)
+        logits = nn.Dense(self.num_actions, kernel_init=_ortho(0.01),
+                          bias_init=nn.initializers.zeros, name="linear")(actor_h)
+        return value[..., 0], logits
+
+
 def policy_act(model: nn.Module, params: Params, obs, key=None, deterministic=False):
     """(value, action, log_prob) — reference Policy.act (model.py:89-101)."""
     value, mean, logstd = model.apply(params, obs)
