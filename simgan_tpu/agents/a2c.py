@@ -36,6 +36,28 @@ def make_optimizer(cfg: A2CConfig) -> optax.GradientTransformation:
     )
 
 
+def acktr_update(model, params, kfac_state, batch: Batch, key, kfac_cfg=None):
+    """ACKTR: A2C losses with the KFAC natural-gradient optimizer
+    (a2c_acktr.py with acktr=True + algo/kfac.py)."""
+    from simgan_tpu.agents import kfac as kfac_mod
+
+    kfac_cfg = kfac_cfg or kfac_mod.KFACConfig()
+    cfg = A2CConfig()
+
+    def loss_fn(p):
+        value, log_prob, entropy = networks.policy_evaluate(
+            model, p, batch.obs, batch.actions)
+        adv = batch.returns - value
+        value_loss = jnp.mean(jnp.square(adv))
+        action_loss = -jnp.mean(jax.lax.stop_gradient(adv) * log_prob)
+        return (value_loss * cfg.value_loss_coef + action_loss
+                - jnp.mean(entropy) * cfg.entropy_coef)
+
+    grads = jax.grad(loss_fn)(params)
+    return kfac_mod.kfac_update(model, params, kfac_state, batch.obs, grads,
+                                key, kfac_cfg)
+
+
 def a2c_update(model, params, opt_state, tx, batch: Batch, cfg: A2CConfig):
     """One full-batch A2C step (a2c_acktr.py:55-102)."""
 
