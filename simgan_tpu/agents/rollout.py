@@ -89,8 +89,6 @@ def collect(
 ) -> tuple[RolloutCarry, Transition]:
     """Roll `num_steps` across the vector env; returns (T, N, ...) arrays."""
 
-    feat_dim = 0
-
     def body(c: RolloutCarry, _):
         key, k_act = jax.random.split(c.key)
         value, action, log_prob = networks.policy_act(
@@ -122,5 +120,4 @@ def collect(
         )
         return RolloutCarry(s.state, s.obs, key, rn), t
 
-    del feat_dim
     return jax.lax.scan(body, carry, None, length=num_steps)

@@ -70,7 +70,6 @@ class HopperEnv:
     def __init__(self, config: HopperConfig = HopperConfig()):
         self.cfg = config
         self.sys = hopper_model.make_hopper(heavy_head=config.heavy_head_env)
-        contact = dataclasses.replace  # noqa: F841  (kept simple below)
         from simgan_tpu.physics.contact import ContactConfig
 
         self.phys_cfg = PhysicsConfig(

@@ -201,11 +201,10 @@ class LaikagoEnv:
     def _stacked_obs(self, past_obs, past_act, obs_latency):
         """Frame-stacked behavior obs t-{0,4,8} with latency interpolation
         (laikago_env_v4.py:387-413, utils.select_and_merge_from_s_a)."""
-        idx = jnp.asarray(BEHAVIOR_OBS_T_IDX)
+        del past_act  # actions are not stacked into behavior obs (a_idx=[])
         s0 = jnp.concatenate([past_obs[i] for i in BEHAVIOR_OBS_T_IDX])
         s1 = jnp.concatenate([past_obs[i + 1] for i in BEHAVIOR_OBS_T_IDX])
         interp = obs_latency / 0.02
-        del idx, past_act
         return s0 * (1.0 - interp) + s1 * interp
 
     # -- API ----------------------------------------------------------------

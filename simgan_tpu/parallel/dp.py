@@ -19,13 +19,6 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from simgan_tpu.parallel.mesh import env_sharding, replicated
 
 
-def _state_shardings(mesh: Mesh, template: Any, env_axis_leaves, axis: str = "dp"):
-    """Build a sharding pytree: leaves flagged env-batched get P(axis)."""
-    env_sh = env_sharding(mesh, axis)
-    rep = replicated(mesh)
-    return jax.tree.map(lambda flag: env_sh if flag else rep, env_axis_leaves)
-
-
 def shard_train_state(mesh: Mesh, train_state, carry_field: str = "carry", axis: str = "dp"):
     """Place a (params, opt_state, ..., carry) NamedTuple on the mesh: the
     rollout carry (env states/obs/reward-norm) is env-sharded, the rest

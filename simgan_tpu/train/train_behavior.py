@@ -132,9 +132,28 @@ def make_update_fn(venv, model, tx, cfg: TrainConfig, mirror=None):
             traj.reward, traj.value, next_value, traj.mask, traj.bad_mask,
             pcfg.gamma, pcfg.gae_lambda, pcfg.use_proper_time_limits)
         batch = build_batch(traj, returns, cfg.dup_sym, mirror)
-        params, opt_state, stats = ppo_update(
-            model, state.params, state.opt_state, tx, batch, key, pcfg,
-            mirror if cfg.loss_sym > 0 else None)
+        if cfg.algo == "a2c":
+            from simgan_tpu.agents.a2c import A2CConfig, a2c_update
+
+            params, opt_state, stats = a2c_update(
+                model, state.params, state.opt_state, tx, batch,
+                A2CConfig(value_loss_coef=cfg.value_loss_coef,
+                          entropy_coef=cfg.entropy_coef, lr=cfg.lr,
+                          eps=cfg.eps, alpha=cfg.alpha,
+                          max_grad_norm=cfg.max_grad_norm))
+        elif cfg.algo == "acktr":
+            from simgan_tpu.agents.a2c import acktr_update
+
+            # opt_state holds the KFACState for acktr
+            params, opt_state = acktr_update(
+                model, state.params, state.opt_state, batch, key)
+            stats = {"value_loss": jnp.asarray(0.0),
+                     "action_loss": jnp.asarray(0.0),
+                     "dist_entropy": jnp.asarray(0.0)}
+        else:
+            params, opt_state, stats = ppo_update(
+                model, state.params, state.opt_state, tx, batch, key, pcfg,
+                mirror if cfg.loss_sym > 0 else None)
         # episode stats for logging
         stats = dict(stats)
         n_done = jnp.sum(traj.ep_done)
@@ -153,7 +172,7 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
     pytrees for combined envs (behavior_model/..., see envs.make)."""
     env_kwargs = dict(env_kwargs or {})
     env_kwargs.update(env_extra or {})
-    assert cfg.algo == "ppo", "a2c/acktr paths are not ported yet"
+    assert cfg.algo in ("ppo", "a2c", "acktr"), cfg.algo
     assert not cfg.gail, "use train_simgan for gail-dyn"
 
     save_path = os.path.join(cfg.save_dir, cfg.algo)
@@ -183,8 +202,20 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
     else:
         params = model.init(k_init, jnp.zeros((1, env.obs_dim)))
 
-    tx = make_lr_optimizer(cfg)
-    opt_state = tx.init(params)
+    if cfg.algo == "acktr":
+        from simgan_tpu.agents.kfac import KFACState
+
+        tx = None
+        opt_state = KFACState.create(params, env.obs_dim)
+    elif cfg.algo == "a2c":
+        from simgan_tpu.agents.a2c import A2CConfig, make_optimizer as make_a2c_opt
+
+        tx = make_a2c_opt(A2CConfig(lr=cfg.lr, eps=cfg.eps, alpha=cfg.alpha,
+                                    max_grad_norm=cfg.max_grad_norm))
+        opt_state = tx.init(params)
+    else:
+        tx = make_lr_optimizer(cfg)
+        opt_state = tx.init(params)
 
     states, obs = venv.reset(k_env)
     carry = RolloutCarry(states, obs, key,
