@@ -50,12 +50,19 @@ def acktr_update(model, params, kfac_state, batch: Batch, key, kfac_cfg=None):
         adv = batch.returns - value
         value_loss = jnp.mean(jnp.square(adv))
         action_loss = -jnp.mean(jax.lax.stop_gradient(adv) * log_prob)
-        return (value_loss * cfg.value_loss_coef + action_loss
-                - jnp.mean(entropy) * cfg.entropy_coef)
+        ent = jnp.mean(entropy)
+        total = (value_loss * cfg.value_loss_coef + action_loss
+                 - ent * cfg.entropy_coef)
+        return total, (value_loss, action_loss, ent)
 
-    grads = jax.grad(loss_fn)(params)
-    return kfac_mod.kfac_update(model, params, kfac_state, batch.obs, grads,
-                                key, kfac_cfg)
+    grads, (value_loss, action_loss, ent) = jax.grad(loss_fn, has_aux=True)(params)
+    params, kfac_state = kfac_mod.kfac_update(
+        model, params, kfac_state, batch.obs, grads, key, kfac_cfg)
+    return params, kfac_state, {
+        "value_loss": value_loss,
+        "action_loss": action_loss,
+        "dist_entropy": ent,
+    }
 
 
 def a2c_update(model, params, opt_state, tx, batch: Batch, cfg: A2CConfig):

@@ -77,7 +77,10 @@ def parse_args(argv=None) -> tuple[TrainConfig, dict[str, Any]]:
     for f in dataclasses.fields(TrainConfig):
         flag = "--" + f.name.replace("_", "-")
         default = getattr(cfg, f.name)
-        if f.name in _BOOL_FLAGS:
+        if f.name == "algo":
+            parser.add_argument(flag, default=default,
+                                choices=["ppo", "a2c", "acktr"])
+        elif f.name in _BOOL_FLAGS:
             parser.add_argument(flag, action="store_true", default=default)
         elif f.name in ("num_episodes", "warm_start_logstd"):
             typ = int if f.name == "num_episodes" else float

@@ -145,11 +145,8 @@ def make_update_fn(venv, model, tx, cfg: TrainConfig, mirror=None):
             from simgan_tpu.agents.a2c import acktr_update
 
             # opt_state holds the KFACState for acktr
-            params, opt_state = acktr_update(
+            params, opt_state, stats = acktr_update(
                 model, state.params, state.opt_state, batch, key)
-            stats = {"value_loss": jnp.asarray(0.0),
-                     "action_loss": jnp.asarray(0.0),
-                     "dist_entropy": jnp.asarray(0.0)}
         else:
             params, opt_state, stats = ppo_update(
                 model, state.params, state.opt_state, tx, batch, key, pcfg,
