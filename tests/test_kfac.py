@@ -58,7 +58,8 @@ def test_acktr_update_runs():
     batch = Batch(obs=obs, actions=actions, value_preds=jnp.zeros(64),
                   returns=jnp.asarray(rng.randn(64), dtype=jnp.float32),
                   old_log_probs=logp, advantages=jnp.zeros(64))
-    p2, s2 = acktr_update(m, params, state, batch, jax.random.PRNGKey(2))
+    p2, s2, stats = acktr_update(m, params, state, batch, jax.random.PRNGKey(2))
     assert int(s2.steps) == 1
+    assert np.isfinite(float(stats["value_loss"]))
     assert any(float(jnp.max(jnp.abs(a - b))) > 0
                for a, b in zip(jax.tree.leaves(p2), jax.tree.leaves(params)))
