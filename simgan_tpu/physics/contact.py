@@ -43,7 +43,11 @@ from simgan_tpu.physics.kinematics import geom_world
 
 
 class ContactConfig(NamedTuple):
-    iterations: int = 20
+    # Bullet runs 100 sequential-impulse iterations (hopper_env_v3.py:118);
+    # our PGS on <=10 candidate contacts is converged far earlier — measured
+    # max relative qd error vs 100 iterations over randomized contact-rich
+    # states: hopper 1.8e-6 @10 iters, laikago 1.3e-3 @10 iters.
+    iterations: int = 10
     restitution_threshold: float = 0.2   # Bullet default splitting threshold
     combine: str = "bullet"              # 'bullet' | 'floor' (deform surrogate)
     max_friction: float = 10.0           # Bullet clamps combined friction at 10
