@@ -91,6 +91,45 @@ def gru_act(model, params, hxs, obs, mask, key=None, deterministic=False):
     return value, action, networks.normal_log_prob(mean, logstd, action), new_hxs
 
 
+def collect_recurrent(venv, model, params, carry, hxs, num_steps: int):
+    """Rollout with hidden-state threading (recurrent analog of
+    agents.rollout.collect).  Returns (carry, hxs, traj-dict of (T,N,...))
+    including the per-step pre-update hidden-gate masks and the initial
+    hidden state for sequence replays."""
+    from simgan_tpu.agents.rollout import RolloutCarry, Transition
+
+    hxs0 = hxs
+
+    def body(c, _):
+        (rc, hxs, prev_mask) = c
+        key, k_act = jax.random.split(rc.key)
+        value, action, log_prob, new_hxs = gru_act(
+            model, params, hxs, rc.obs, prev_mask, k_act)
+        s = venv.step(rc.states, action)
+        if rc.reward_norm is not None:
+            rn, reward = rc.reward_norm(s.reward, s.done)
+        else:
+            rn, reward = None, s.reward
+        t = Transition(
+            obs=rc.obs, action=action, log_prob=log_prob, value=value,
+            reward=reward, raw_reward=s.reward,
+            mask=1.0 - s.done.astype(jnp.float32),
+            bad_mask=1.0 - s.truncated.astype(jnp.float32),
+            feat=jnp.zeros((action.shape[0], 0)),
+            ep_return=s.metrics["episode_return"], ep_done=s.done,
+        )
+        # the mask that gates the *next* step's hidden state
+        next_mask = 1.0 - s.done.astype(jnp.float32)
+        out = (t, prev_mask)
+        return (RolloutCarry(s.state, s.obs, key, rn), new_hxs, next_mask), out
+
+    N = hxs.shape[0]
+    init_mask = jnp.ones(N)
+    (rc, hxs, last_mask), (traj, gate_masks) = jax.lax.scan(
+        body, (carry, hxs, init_mask), None, length=num_steps)
+    return rc, hxs, last_mask, traj, gate_masks, hxs0
+
+
 class RecurrentBatch(NamedTuple):
     """(T, N, ...) rollout tensors + initial hidden per env."""
 

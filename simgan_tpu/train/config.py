@@ -40,6 +40,7 @@ class TrainConfig:
     log_dir: str = "log/"
     save_dir: str = "./trained_models_0/"
     no_proper_time_limits: bool = False
+    recurrent_policy: bool = False
     use_linear_lr_decay: bool = False
     warm_start: str = ""
     warm_start_logstd: Optional[float] = None
@@ -67,6 +68,7 @@ class TrainConfig:
 _BOOL_FLAGS = {
     "use_gae", "no_proper_time_limits", "use_linear_lr_decay", "gail",
     "gail_dyn", "no_alive_bonus", "use_split_pi", "dup_sym",
+    "recurrent_policy",
 }
 
 

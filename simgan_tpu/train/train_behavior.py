@@ -122,6 +122,46 @@ class BehaviorTrainState(NamedTuple):
     carry: RolloutCarry
 
 
+class RecurrentTrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    carry: RolloutCarry
+    hxs: Any
+    gate_mask: Any
+
+
+def make_recurrent_update_fn(venv, model, tx, cfg: TrainConfig):
+    """GRU-policy PPO update (reference --recurrent-policy path)."""
+    from simgan_tpu.agents import recurrent
+
+    pcfg = ppo_config(cfg)
+
+    def update(state: RecurrentTrainState, key):
+        carry, hxs, last_mask, traj, gate_masks, hxs0 = recurrent.collect_recurrent(
+            venv, model, state.params, state.carry, state.hxs, cfg.num_steps)
+        next_value, _, _, _ = recurrent.gru_act(
+            model, state.params, hxs, carry.obs, last_mask, deterministic=True)
+        returns = compute_gae(
+            traj.reward, traj.value, next_value, traj.mask, traj.bad_mask,
+            pcfg.gamma, pcfg.gae_lambda, pcfg.use_proper_time_limits)
+        batch = recurrent.RecurrentBatch(
+            obs=traj.obs, actions=traj.action, value_preds=traj.value,
+            returns=returns, old_log_probs=traj.log_prob,
+            advantages=returns - traj.value,
+            masks=gate_masks, hxs0=hxs0)
+        params, opt_state, stats = recurrent.recurrent_ppo_update(
+            model, state.params, state.opt_state, tx, batch, key, pcfg)
+        stats = dict(stats)
+        stats["episode_count"] = jnp.sum(traj.ep_done)
+        stats["episode_reward_sum"] = jnp.sum(jnp.where(traj.ep_done, traj.ep_return, 0.0))
+        ep_rets = jnp.where(traj.ep_done, traj.ep_return, jnp.nan)
+        stats["episode_reward_min"] = jnp.nanmin(ep_rets)
+        stats["episode_reward_max"] = jnp.nanmax(ep_rets)
+        return RecurrentTrainState(params, opt_state, carry, hxs, last_mask), stats
+
+    return update
+
+
 def make_update_fn(venv, model, tx, cfg: TrainConfig, mirror=None):
     pcfg = ppo_config(cfg)
 
@@ -188,6 +228,25 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
     key = jax.random.PRNGKey(cfg.seed)
     key, k_init, k_env = jax.random.split(key, 3)
 
+    if cfg.recurrent_policy:
+        from simgan_tpu.agents import recurrent
+
+        assert not cfg.warm_start, "warm start not supported with recurrent policy"
+        assert cfg.algo == "ppo", "recurrent policy supports ppo only"
+        model, params = recurrent.init_gru_policy(
+            k_init, env.act_dim, env.obs_dim, hidden=cfg.hidden_size)
+        tx = make_lr_optimizer(cfg)
+        opt_state = tx.init(params)
+        states, obs = venv.reset(k_env)
+        carry = RolloutCarry(states, obs, key,
+                             RewardNorm.create(cfg.num_processes, cfg.gamma))
+        train_state = RecurrentTrainState(
+            params, opt_state, carry,
+            recurrent.zero_hidden(cfg.num_processes, cfg.hidden_size),
+            jnp.ones(cfg.num_processes))
+        update_fn = jax.jit(make_recurrent_update_fn(venv, model, tx, cfg))
+        return _train_loop(cfg, logger, model, update_fn, train_state, key, save_path)
+
     model = MLPPolicy(action_dim=env.act_dim, hidden=cfg.hidden_size)
     if cfg.warm_start:
         policy_dir, env_name = os.path.split(cfg.warm_start)
@@ -220,9 +279,11 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
     train_state = BehaviorTrainState(params, opt_state, carry)
 
     update_fn = jax.jit(make_update_fn(venv, model, tx, cfg, mirror))
+    return _train_loop(cfg, logger, model, update_fn, train_state, key, save_path)
 
+
+def _train_loop(cfg, logger, model, update_fn, train_state, key, save_path):
     start = time.time()
-    ep_count, ep_sum = 0.0, 0.0
     for j in range(cfg.num_updates):
         key, k_up = jax.random.split(key)
         train_state, stats = update_fn(train_state, k_up)
