@@ -21,7 +21,7 @@ import time
 import jax
 import jax.numpy as jnp
 
-BATCH = int(os.environ.get("SIMGAN_BENCH_BATCH", 8192))
+BATCH = int(os.environ.get("SIMGAN_BENCH_BATCH", 32768))
 ITERS = int(os.environ.get("SIMGAN_BENCH_ITERS", 25))
 NORTH_STAR_PER_CHIP = 125_000.0
 

@@ -27,9 +27,12 @@ class PhysicsConfig(NamedTuple):
     contact: ContactConfig = ContactConfig()
     base_pos: tuple = (0.0, 0.0, 0.0)  # world pose of the base for fixed_base systems
     joint_limit_margin: float = 0.0
-    # use the unrolled jnp Cholesky (physics/linalg.py) instead of the LAPACK
-    # custom call — required inside Pallas kernels
-    explicit_cholesky: bool = False
+    # Unrolled jnp Cholesky (physics/linalg.py) instead of lax.linalg's
+    # blocked lowering.  Default True: measured 5.3x (hopper) / 4.2x
+    # (laikago) total physics throughput on v5e — XLA's TPU cholesky path
+    # dominates the substep at these tiny (6..18) sizes.  Also required
+    # inside Pallas kernels (no custom calls in Mosaic).
+    explicit_cholesky: bool = True
 
 
 def substep(
