@@ -1,0 +1,193 @@
+"""End-to-end SimGAN experiment pipeline driver (one TPU chip).
+
+Runs the reference's full Algorithm-1 loop for one of the six paper
+experiments (reference train_{hopper,laika}_{deform,heavy,power}.sh +
+README.md:37-63) against the behavior policies already trained under
+``runs/``:
+
+  collect  : roll the behavior policy in the TARGET env, pickle 200
+             expert trajectories (collect_tarsim_traj.py --save-traj 1)
+  original : deterministic final-test of the UNREFINED behavior policy in
+             the target env (the "original" row of the results table)
+  identify : stage-1 hybrid-simulator identification (main_gail_dyn_ppo)
+  refine   : stage-2 policy refinement inside the learned hybrid sim
+  test     : deterministic final-test of the refined policy in the target
+
+Budgets are the reference's (2M/2M hopper, 8M/4M laikago) with 16 vmapped
+env lanes per update instead of 8 worker processes; the refinement
+ensemble iterations are rescaled to the same fractional positions of the
+run (hopper 80..160 of 250 updates, laika 550..950 of 1000 —
+hopper_env_combined_policy.py:113-140, laikago_env_combined_policy.py:
+126-153).
+
+Usage:
+    python scripts/run_experiment.py laika_deform
+    python scripts/run_experiment.py laika_heavy --stages identify,refine,test \
+        --tag retune --s-idx 0,4 --a-idx 0
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from simgan_tpu.train import checkpoints
+from simgan_tpu.train.collect import CollectConfig, collect
+from simgan_tpu.train.config import TrainConfig
+from simgan_tpu.train.experiments import (EXPERIMENTS, ID_ENV_KWARGS,
+                                          REFINE_ENV_KWARGS)
+
+RUNS = os.path.join(os.path.dirname(__file__), "..", "runs")
+
+BEHAVIOR = {
+    "HopperURDFEnv-v3": os.path.join(RUNS, "hopper_behavior_v2", "ppo"),
+    "LaikagoBulletEnv-v4": os.path.join(RUNS, "laika_behavior", "ppo"),
+}
+
+# reference update counts the ensemble iteration indices are anchored to
+REF_UPDATES = {"Hopper": 250, "Laikago": 1000}
+REF_ENSEMBLE = {"Hopper": [80, 100, 120, 140, 160],
+                "Laikago": [550, 650, 750, 850, 950]}
+
+
+def _robot(env_name: str) -> str:
+    return "Hopper" if "Hopper" in env_name else "Laikago"
+
+
+def scaled_ensemble_iters(cfg: TrainConfig, save_interval: int) -> list[int]:
+    robot = _robot(cfg.env_name)
+    scale = cfg.num_updates / REF_UPDATES[robot]
+    iters = []
+    for i in REF_ENSEMBLE[robot]:
+        j = int(round(i * scale / save_interval)) * save_interval
+        iters.append(min(j, (cfg.num_updates - 1) // save_interval * save_interval))
+    assert len(set(iters)) == len(iters), f"ensemble iters collide: {iters}"
+    return iters
+
+
+def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
+        overrides_id: dict | None = None, overrides_refine: dict | None = None,
+        id_env_extra_kwargs: dict | None = None):
+    exp = EXPERIMENTS[name]
+    robot = _robot(exp["common"]["env_name"])
+    behavior_dir = BEHAVIOR[exp["behavior_env"]]
+    suffix = f"_{tag}" if tag else ""
+
+    traj_path = os.path.join(RUNS, f"{name}_n200.pkl")
+    gdyn_dir = os.path.join(RUNS, f"gdyn_{name}{suffix}")
+    refine_dir = os.path.join(RUNS, f"{name}_refined{suffix}")
+    result_path = os.path.join(RUNS, f"{name}{suffix}_result.json")
+    results = json.load(open(result_path)) if os.path.exists(result_path) else {}
+    # the collect/original stages are tag-independent; reuse across tags
+    base_result = os.path.join(RUNS, f"{name}_result.json")
+    if tag and os.path.exists(base_result):
+        base = json.load(open(base_result))
+        for k in ("original_mean", "original_median", "original_success"):
+            results.setdefault(k, base.get(k))
+
+    save_interval = 10 if robot == "Hopper" else 25
+    id_cfg = TrainConfig(**{**exp["common"],
+                            "num_processes": 16,
+                            "gail_traj_path": traj_path,
+                            "save_dir": gdyn_dir,
+                            "log_interval": 25,
+                            "save_interval": save_interval,
+                            "seed": exp["seed"],
+                            "gail_s_idx": ",".join(map(str, s_idx)),
+                            "gail_a_idx": ",".join(map(str, a_idx)),
+                            **(overrides_id or {})})
+    refine_cfg = TrainConfig(**{**exp["refine"],
+                                "num_processes": 16,
+                                "save_dir": refine_dir,
+                                "warm_start": os.path.join(
+                                    behavior_dir, exp["behavior_env"]),
+                                "log_interval": 25,
+                                "save_interval": 25,
+                                "seed": exp["seed"] + 7,
+                                **(overrides_refine or {})})
+    target_kwargs = dict(exp["collect_env_kwargs"])
+
+    def _mark(stage, t0, **kw):
+        results[stage + "_wall_s"] = round(time.time() - t0, 1)
+        results.update(kw)
+        os.makedirs(RUNS, exist_ok=True)
+        json.dump(results, open(result_path, "w"), indent=1)
+        print(f"== stage {stage} done in {results[stage + '_wall_s']}s: {kw}",
+              flush=True)
+
+    if "collect" in stages:
+        t0 = time.time()
+        res = collect(CollectConfig(
+            env_name=exp["behavior_env"], load_dir=behavior_dir,
+            save_traj=True, num_trajs=200, non_det=True,
+            save_path=traj_path, seed=0, max_steps=500), target_kwargs)
+        _mark("collect", t0, collect_mean=res["mean_reward"],
+              collect_median=res["median_reward"])
+
+    if "original" in stages:
+        t0 = time.time()
+        res = collect(CollectConfig(
+            env_name=exp["behavior_env"], load_dir=behavior_dir,
+            num_trajs=100, non_det=False, seed=11, max_steps=500),
+            target_kwargs)
+        _mark("original", t0, original_mean=res["mean_reward"],
+              original_median=res["median_reward"],
+              original_success=res["success"])
+
+    if "identify" in stages:
+        from simgan_tpu.train import train_simgan
+        t0 = time.time()
+        model, params = checkpoints.load_policy(behavior_dir, exp["behavior_env"])
+        env_extra = {"behavior_model": model, "behavior_params": params}
+        id_kwargs = dict(ID_ENV_KWARGS)
+        id_kwargs.update(id_env_extra_kwargs or {})
+        train_simgan.train(id_cfg, id_kwargs, env_extra)
+        _mark("identify", t0)
+
+    if "refine" in stages:
+        from simgan_tpu.train import train_behavior
+        t0 = time.time()
+        iters = scaled_ensemble_iters(id_cfg, save_interval)
+        model, stacked = checkpoints.load_ensemble(
+            os.path.join(gdyn_dir, "ppo"), id_cfg.env_name, iters)
+        env_extra = {"dyn_model": model, "dyn_ensemble_params": stacked}
+        train_behavior.train(refine_cfg, dict(REFINE_ENV_KWARGS), env_extra)
+        _mark("refine", t0, ensemble_iters=iters)
+
+    if "test" in stages:
+        t0 = time.time()
+        res = collect(CollectConfig(
+            env_name=exp["behavior_env"],
+            src_env_name=id_cfg.env_name,
+            load_dir=os.path.join(refine_dir, "ppo"),
+            num_trajs=100, non_det=False, seed=11, max_steps=500),
+            target_kwargs)
+        _mark("test", t0, refined_mean=res["mean_reward"],
+              refined_median=res["median_reward"],
+              refined_success=res["success"])
+        print(f"== {name}{suffix}: original {results.get('original_mean')} "
+              f"-> refined {results.get('refined_mean')}", flush=True)
+
+    return results
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("experiment", choices=sorted(EXPERIMENTS))
+    p.add_argument("--stages", default="collect,original,identify,refine,test")
+    p.add_argument("--tag", default="")
+    p.add_argument("--s-idx", default="0")
+    p.add_argument("--a-idx", default="0")
+    args = p.parse_args(argv)
+    run(args.experiment, args.stages.split(","), tag=args.tag,
+        s_idx=tuple(int(x) for x in args.s_idx.split(",")),
+        a_idx=tuple(int(x) for x in args.a_idx.split(",")))
+
+
+if __name__ == "__main__":
+    main()

@@ -80,7 +80,9 @@ def update(
 ):
     """cfg.epochs x n_batches discriminator SGD steps in one XLA program."""
     M, P = expert_feats.shape[0], policy_feats.shape[0]
-    bs = cfg.batch_size
+    # clamp so tiny rollouts still produce >=1 batch (the reference's
+    # DataLoader yields partial batches rather than none)
+    bs = min(cfg.batch_size, M, P)
     n_batches = min(M // bs, P // bs)
     grad_fn = jax.grad(_loss, has_aux=True)
 

@@ -53,6 +53,10 @@ class TrainConfig:
     gail_traj_num: int = 20
     gail_downsample_frequency: int = 20
     gail_dis_hdim: int = 100
+    # which past frames of the 10-deep sas window feed the discriminator
+    # (reference main_gail_dyn_ppo.py:152-157; "0" = newest frame only)
+    gail_s_idx: str = "0"
+    gail_a_idx: str = "0"
     no_alive_bonus: bool = False
     use_split_pi: bool = False
     num_feet: int = 1

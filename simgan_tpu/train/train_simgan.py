@@ -32,13 +32,19 @@ from simgan_tpu.agents.running_stats import RunningMeanStd
 from simgan_tpu.envs.base import AutoResetEnv
 from simgan_tpu.train import checkpoints
 from simgan_tpu.train.config import TrainConfig
-from simgan_tpu.train.train_behavior import (load_combined_policies, ppo_config,
-                                             make_lr_optimizer, setup_logging,
+from simgan_tpu.train.train_behavior import (compact_episodes, emit_monitor,
+                                             load_combined_policies,
+                                             make_lr_optimizer, make_trace_ctx,
+                                             ppo_config, setup_logging,
                                              write_source_snapshot)
 from simgan_tpu.utils import pickle_io
 
-S_IDX = (0,)   # main_gail_dyn_ppo.py:152-153
-A_IDX = (0,)
+def window_indices(cfg: TrainConfig) -> tuple[tuple[int, ...], tuple[int, ...]]:
+    """Past-frame indices of the sas window fed to the discriminator
+    (main_gail_dyn_ppo.py:152-157; the paper uses s_idx=a_idx=[0])."""
+    s_idx = tuple(int(x) for x in str(cfg.gail_s_idx).split(","))
+    a_idx = tuple(int(x) for x in str(cfg.gail_a_idx).split(","))
+    return s_idx, a_idx
 
 
 class SimGanState(NamedTuple):
@@ -54,9 +60,17 @@ def make_update_fn(venv, model, tx, disc_model, disc_tx, expert_feats,
     pcfg = ppo_config(cfg)
     gcfg = GailConfig(hidden=cfg.gail_dis_hdim, batch_size=cfg.gail_batch_size,
                       epochs=cfg.gail_epoch)
+    s_idx, a_idx = window_indices(cfg)
 
-    def feat_fn(window):
-        return window.select_and_merge(S_IDX, A_IDX)
+    if cfg.gail_dyn:
+        def feat_fn(window):
+            return window.select_and_merge(s_idx, a_idx)
+    else:
+        # plain state-action GAIL (reference algo/gail.py:91-152): the
+        # discriminator sees (s_t, a_t) rows, no next state
+        def feat_fn(window):
+            return jnp.concatenate(
+                [window.obs[..., 0, :], window.act[..., 0, :]], axis=-1)
 
     def update(state: SimGanState, key):
         k_d, k_ppo = jax.random.split(key)
@@ -69,11 +83,13 @@ def make_update_fn(venv, model, tx, disc_model, disc_tx, expert_feats,
         disc, d_stats = gail.update(disc_model, disc_tx, state.disc,
                                     expert_feats, policy_feats, k_d, gcfg)
 
-        # --- survival-bias offset (main_gail_dyn_ppo.py:258-271) ---
+        # --- survival-bias offset (main_gail_dyn_ppo.py:258-271; the plain
+        # GAIL path uses predict_reward's default offset=0, gail.py:195) ---
         num_dones = jnp.sum(1.0 - traj.mask) + cfg.num_processes / 2.0
         num_expert_dones = (cfg.num_steps * cfg.num_processes) / gail_tar_length
         d_sa = 1.0 - num_dones / (num_dones + num_expert_dones)
-        r_sa = 0.0 if cfg.no_alive_bonus else jnp.log(d_sa) - jnp.log(1.0 - d_sa)
+        use_offset = cfg.gail_dyn and not cfg.no_alive_bonus
+        r_sa = jnp.log(d_sa) - jnp.log(1.0 - d_sa) if use_offset else 0.0
 
         # --- reward overwrite + return-RMS renormalization ---
         disc, rewards, returns = gail.predict_reward(
@@ -100,6 +116,7 @@ def make_update_fn(venv, model, tx, disc_model, disc_tx, expert_feats,
         stats["gail_rewards"] = jnp.mean(returns)
         stats["episode_count"] = jnp.sum(traj.ep_done)
         stats["episode_reward_sum"] = jnp.sum(jnp.where(traj.ep_done, traj.ep_return, 0.0))
+        stats["_episodes"] = compact_episodes(traj)
         return SimGanState(params, opt_state, disc, ret_rms, carry), stats
 
     return update
@@ -138,11 +155,19 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
     expert_sas = pickle_io.load_sas_wpast(
         cfg.gail_traj_path, downsample_freq=int(cfg.gail_downsample_frequency),
         load_num_trajs=cfg.gail_traj_num, rng=rng)
+    s_idx, a_idx = window_indices(cfg)
     s_dim = expert_sas[-1].shape[1]
     a_dim = expert_sas[-2].shape[1]
-    info_length = len(S_IDX) * s_dim + len(A_IDX) * a_dim + s_dim
-    expert_feats = jnp.asarray(
-        pickle_io.select_and_merge_sas(expert_sas, S_IDX, A_IDX))
+    if cfg.gail_dyn:
+        info_length = len(s_idx) * s_dim + len(a_idx) * a_dim + s_dim
+        expert_feats = jnp.asarray(
+            pickle_io.select_and_merge_sas(expert_sas, s_idx, a_idx))
+    else:
+        # plain GAIL: expert rows are (s_t, a_t) — newest obs/act frames
+        len_win = (len(expert_sas) - 1) // 2
+        info_length = s_dim + a_dim
+        expert_feats = jnp.asarray(np.concatenate(
+            [expert_sas[0], expert_sas[len_win]], axis=1))
     assert expert_feats.shape[1] == info_length, (expert_feats.shape, info_length)
     gail_tar_length = (expert_feats.shape[0] * 1.0 / cfg.gail_traj_num
                        * cfg.gail_downsample_frequency)
@@ -163,10 +188,16 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
     update_fn = jax.jit(make_update_fn(
         venv, model, tx, disc_model, disc_tx, expert_feats, gail_tar_length, cfg))
 
+    from simgan_tpu.utils.monitor import MonitorWriter
+
+    monitor = MonitorWriter(save_path, rank=0, env_id=cfg.env_name)
     start = time.time()
     for j in range(cfg.num_updates):
         key, k_up = jax.random.split(key)
-        train_state, stats = update_fn(train_state, k_up)
+        with make_trace_ctx(j):
+            train_state, stats = update_fn(train_state, k_up)
+        stats = dict(stats)
+        emit_monitor(monitor, stats)
 
         if (j % cfg.save_interval == 0 or j == cfg.num_updates - 1) and cfg.save_dir:
             checkpoints.save_policy(save_path, cfg.env_name, model, train_state.params)
@@ -191,6 +222,7 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
                 float(s["value_loss"]), float(s["gail_rewards"]),
                 float(s["gail_loss"]), float(s["gail_loss_e"]), float(s["gail_loss_p"]),
             )
+    monitor.close()
     return model, train_state.params, disc_model, train_state.disc.params
 
 
@@ -198,7 +230,9 @@ def main(argv=None):
     from simgan_tpu.train.config import parse_args
 
     cfg, extra = parse_args(argv)
-    env_extra = load_combined_policies(cfg, extra)
+    env_extra = {}
+    if cfg.env_name.endswith("CombinedEnv-v1"):
+        env_extra = load_combined_policies(cfg, extra)
     train(cfg, extra, env_extra)
 
 
