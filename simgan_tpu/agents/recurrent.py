@@ -116,7 +116,8 @@ def collect_recurrent(venv, model, params, carry, hxs, num_steps: int):
             mask=1.0 - s.done.astype(jnp.float32),
             bad_mask=1.0 - s.truncated.astype(jnp.float32),
             feat=jnp.zeros((action.shape[0], 0)),
-            ep_return=s.metrics["episode_return"], ep_done=s.done,
+            ep_return=s.metrics["episode_return"],
+            ep_length=s.metrics["episode_length"], ep_done=s.done,
         )
         # the mask that gates the *next* step's hidden state
         next_mask = 1.0 - s.done.astype(jnp.float32)

@@ -68,6 +68,7 @@ class Transition(NamedTuple):
     bad_mask: jax.Array      # 0 only at time-limit truncation
     feat: jax.Array          # merged (s,a,s') D features (zeros if unused)
     ep_return: jax.Array     # episode return at this step (valid when ep_done)
+    ep_length: jax.Array     # episode length at this step (valid when ep_done)
     ep_done: jax.Array
 
 
@@ -116,6 +117,7 @@ def collect(
             bad_mask=1.0 - s.truncated.astype(jnp.float32),
             feat=feat,
             ep_return=s.metrics["episode_return"],
+            ep_length=s.metrics["episode_length"],
             ep_done=s.done,
         )
         return RolloutCarry(s.state, s.obs, key, rn), t

@@ -147,5 +147,6 @@ class AutoResetEnv:
         new_state = AutoResetState(env=env_state, stats=stats, reset_key=k_next)
         metrics = dict(s.metrics)
         metrics["episode_return"] = ep_ret
+        metrics["episode_length"] = ep_len
         metrics["episode_done"] = s.done
         return Step(new_state, obs, s.reward, s.done, s.truncated, s.window, metrics)

@@ -39,6 +39,11 @@ class CollectConfig:
     r_thres: float = 4000.0
     seed: int = 1
     max_steps: int = 500
+    # discriminator-probability diagnostics (collect_tarsim_traj.py:37-63):
+    # load <dis_dir>/<env>_D[.iter].npz and plot avg per-step sigmoid(D)
+    dis_dir: str = ""
+    dis_iter: Optional[int] = None
+    d_plot_path: str = ""
 
 
 def rollout_trajs(env, model, params, key, num_trajs: int, max_steps: int,
@@ -102,6 +107,21 @@ def collect(cfg: CollectConfig, env_kwargs: dict | None = None,
     print(f"median episode reward, {np.median(total_r)}")
     print(f"success {n_success}/{cfg.num_trajs} (r > {cfg.r_thres})")
 
+    if cfg.dis_dir:
+        from simgan_tpu.utils import d_scores
+        d_model, d_params = checkpoints.load_policy(
+            cfg.dis_dir, env_name_transfer, cfg.dis_iter, disc=True)
+        scores = d_scores.d_scores_over_windows(d_model, d_params, windows)
+        valid_np = np.asarray(valid, dtype=bool)
+        masked = np.where(valid_np, scores, np.nan)
+        with np.errstate(invalid="ignore"):
+            avg = np.nanmean(masked, axis=0)
+        print("avg D(real) over steps: first/mid/last %.3f/%.3f/%.3f"
+              % (avg[0], avg[len(avg) // 2], avg[-1]))
+        if cfg.d_plot_path:
+            d_scores.plot_d_scores(np.nan_to_num(avg, nan=0.5), cfg.d_plot_path)
+            print("D-score plot saved to", cfg.d_plot_path)
+
     if cfg.save_traj:
         all_trajs = {}
         for i in range(cfg.num_trajs):
@@ -127,7 +147,7 @@ def main(argv=None):
             parser.add_argument(flag, type=int, default=0)
         elif f.name in ("reset_logstd",):
             parser.add_argument(flag, type=float, default=None)
-        elif f.name in ("iter",):
+        elif f.name in ("iter", "dis_iter"):
             parser.add_argument(flag, type=int, default=None)
         else:
             default = getattr(CollectConfig(), f.name)

@@ -157,6 +157,7 @@ def make_recurrent_update_fn(venv, model, tx, cfg: TrainConfig):
         ep_rets = jnp.where(traj.ep_done, traj.ep_return, jnp.nan)
         stats["episode_reward_min"] = jnp.nanmin(ep_rets)
         stats["episode_reward_max"] = jnp.nanmax(ep_rets)
+        stats["_episodes"] = compact_episodes(traj)
         return RecurrentTrainState(params, opt_state, carry, hxs, last_mask), stats
 
     return update
@@ -199,6 +200,7 @@ def make_update_fn(venv, model, tx, cfg: TrainConfig, mirror=None):
         ep_rets = jnp.where(traj.ep_done, traj.ep_return, jnp.nan)
         stats["episode_reward_min"] = jnp.nanmin(ep_rets)
         stats["episode_reward_max"] = jnp.nanmax(ep_rets)
+        stats["_episodes"] = compact_episodes(traj)
         return BehaviorTrainState(params, opt_state, carry), stats
 
     return update
@@ -282,11 +284,57 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
     return _train_loop(cfg, logger, model, update_fn, train_state, key, save_path)
 
 
+_EPISODE_CAP = 4096  # max finished episodes fetched per update
+
+
+def compact_episodes(traj) -> tuple:
+    """Device-side compaction of the rollout's finished episodes so the host
+    fetches O(episodes), not O(T*N) (the remote-TPU transfer matters)."""
+    done = traj.ep_done.reshape(-1)
+    k = min(done.shape[0], _EPISODE_CAP)
+    idx = jnp.nonzero(done, size=k, fill_value=-1)[0]
+    safe = jnp.maximum(idx, 0)
+    return (idx >= 0, traj.ep_return.reshape(-1)[safe],
+            traj.ep_length.reshape(-1)[safe])
+
+
+def emit_monitor(monitor, stats) -> None:
+    """Write the update's finished episodes to monitor.csv (the on-device
+    analog of bench.Monitor's per-episode rows, baselines/bench/monitor.py:
+    82-101).  Pops the compacted episode arrays out of the stats dict."""
+    ep = stats.pop("_episodes", None)
+    if monitor is None or ep is None:
+        return
+    valid, ret, length = jax.device_get(ep)
+    valid = np.asarray(valid, dtype=bool)
+    monitor.record_batch(np.asarray(ret)[valid], np.asarray(length)[valid])
+
+
+def make_trace_ctx(j: int):
+    """SIMGAN_TRACE_DIR=<dir> captures a jax-profiler trace of update 1
+    (utils/profiling.trace; the aux tracing subsystem)."""
+    trace_dir = os.environ.get("SIMGAN_TRACE_DIR")
+    if trace_dir and j == 1:
+        from simgan_tpu.utils import profiling
+        return profiling.trace(trace_dir)
+    import contextlib
+    return contextlib.nullcontext()
+
+
 def _train_loop(cfg, logger, model, update_fn, train_state, key, save_path):
+    from simgan_tpu.utils.monitor import MonitorWriter
+    from simgan_tpu.utils.profiling import StepTimer
+
+    monitor = MonitorWriter(save_path, rank=0, env_id=cfg.env_name)
+    timer = StepTimer()
     start = time.time()
     for j in range(cfg.num_updates):
         key, k_up = jax.random.split(key)
-        train_state, stats = update_fn(train_state, k_up)
+        with make_trace_ctx(j):
+            train_state, stats = update_fn(train_state, k_up)
+        stats = dict(stats)
+        emit_monitor(monitor, stats)
+        timer.tick()
 
         if (j % cfg.save_interval == 0 or j == cfg.num_updates - 1) and cfg.save_dir:
             checkpoints.save_policy(save_path, cfg.env_name, model, train_state.params)
@@ -299,14 +347,16 @@ def _train_loop(cfg, logger, model, update_fn, train_state, key, save_path):
             mean_r = ep_sum / max(ep_count, 1.0)
             total_steps = (j + 1) * cfg.num_processes * cfg.num_steps
             fps = int(total_steps / (time.time() - start))
+            fps_now = timer.rate(cfg.num_processes * cfg.num_steps)
             logger.info(
-                "Updates %d, num timesteps %d, FPS %d, episodes %d, "
+                "Updates %d, num timesteps %d, FPS %d (now %d), episodes %d, "
                 "mean reward %.1f, min/max %.1f/%.1f, dist_en %.3f, l_pi %.4f, l_vf %.4f",
-                j, total_steps, fps, int(ep_count), mean_r,
+                j, total_steps, fps, int(fps_now or 0), int(ep_count), mean_r,
                 float(stats["episode_reward_min"]), float(stats["episode_reward_max"]),
                 float(stats["dist_entropy"]), float(stats["action_loss"]),
                 float(stats["value_loss"]),
             )
+    monitor.close()
     return model, train_state.params
 
 
@@ -314,6 +364,12 @@ def main(argv=None):
     from simgan_tpu.train.config import parse_args
 
     cfg, extra = parse_args(argv)
+    if cfg.gail:
+        # both GAIL flavors (plain state-action and gail-dyn) live in
+        # train_simgan; the reference exposes --gail* on main.py's flag
+        # surface too (arguments.py:139-163)
+        from simgan_tpu.train import train_simgan
+        return train_simgan.main(argv)
     env_extra = {}
     if cfg.env_name.endswith("CombinedEnv-v1"):
         env_extra = load_combined_policies(cfg, extra)

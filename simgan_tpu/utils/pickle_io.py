@@ -55,3 +55,80 @@ def windows_to_rows(obs_win: np.ndarray, act_win: np.ndarray, next_obs: np.ndarr
     """Convert one SasWindow to the reference's 21-slot list row."""
     return [list(map(float, o)) for o in obs_win] + \
            [list(map(float, a)) for a in act_win] + [list(map(float, next_obs))]
+
+
+def _downsampled_rows(path: str, downsample_freq: int, load_num_trajs,
+                      rng: np.random.RandomState | None):
+    """Shared loader core: per-trajectory random-phase downsampling
+    (my_pybullet_envs/utils.py:114-135, 137-167, 170-199)."""
+    rng = rng or np.random.RandomState()
+    with open(path, "rb") as f:
+        saved = pickle.load(f)
+    start_idx = rng.randint(0, downsample_freq, size=(len(saved),))
+    rows = []
+    for traj_idx, traj_tuples in saved.items():
+        rows.extend(traj_tuples[start_idx[traj_idx] :: downsample_freq])
+        if load_num_trajs and traj_idx >= load_num_trajs - 1:
+            break
+    return rows
+
+
+def load_combined_sas(path: str, downsample_freq: int = 1, load_num_trajs=None,
+                      rng: np.random.RandomState | None = None) -> np.ndarray:
+    """Rows of already-merged (s,a,s') features -> one (N, d) matrix
+    (reference load_combined_sas_from_pickle, utils.py:114-135)."""
+    rows = _downsampled_rows(path, downsample_freq, load_num_trajs, rng)
+    return np.asarray(rows, dtype=np.float32)
+
+
+def load_feat_sas(path: str, downsample_freq: int = 1, load_num_trajs=None,
+                  rng: np.random.RandomState | None = None):
+    """3-slot [s, a, s'] rows -> (S, A, S') matrices
+    (reference load_feat_sas_from_pickle, utils.py:137-167)."""
+    rows = _downsampled_rows(path, downsample_freq, load_num_trajs, rng)
+    arr = np.array(rows, dtype=object)
+    unpack = lambda col: np.array(list(arr[:, col]), dtype=np.float32)
+    return unpack(0), unpack(1), unpack(2)
+
+
+def sample_traj_sas_wpast(trajs: dict, rng: np.random.RandomState | None = None):
+    """Pick one random trajectory from loaded pickle content; return its
+    (T+1, s_dim) state matrix (current states + final next-state) and
+    (T, a_dim) newest-frame actions (reference
+    sample_traj_from_pickle_sas_wpast, utils.py:202-230)."""
+    rng = rng or np.random.RandomState()
+    idx = rng.choice(len(trajs))
+    rows = np.array(trajs[idx], dtype=object)
+    len_win = (rows.shape[1] - 1) // 2
+    s0 = np.array(list(rows[:, 0]), dtype=np.float32)
+    a0 = np.array(list(rows[:, len_win]), dtype=np.float32)
+    s1 = np.array(list(rows[:, -1]), dtype=np.float32)
+    return np.concatenate([s0, s1[-1:]], axis=0), a0
+
+
+def select_and_merge_from_s_a(s_mt, a_mt, s_idx=(0,), a_idx=()) -> np.ndarray:
+    """Stack selected frames of per-step obs/act window lists into one flat
+    vector (reference utils.py:266-277; the behavior-obs frame stacking)."""
+    parts = [np.asarray(s_mt[i], dtype=np.float32) for i in s_idx]
+    parts += [np.asarray(a_mt[j], dtype=np.float32) for j in a_idx]
+    return np.concatenate(parts) if parts else np.zeros((0,), np.float32)
+
+
+def replace_obs_with_feat(obs: np.ndarray, feat_select_func=None) -> np.ndarray:
+    """Map a (B, obs_dim) batch through a per-row feature selector
+    (reference utils.py:310-331; identity when no selector).  Host-side —
+    torch tensor round-trips collapse to a plain array op here."""
+    obs = np.asarray(obs)
+    if feat_select_func is None:
+        return obs
+    return np.stack([np.asarray(feat_select_func(o)) for o in obs])
+
+
+def mirror_obsact_batch(x, mirror_func, augment: bool = True):
+    """Mirror a (B, d) obs/act batch; optionally append it to the original
+    (reference utils.py:334-357).  mirror_func must be batch-vectorized
+    (e.g. simgan_tpu.envs.laikago_mirror.mirror_obs / mirror_action)."""
+    mirrored = mirror_func(x)
+    if not augment:
+        return mirrored
+    return np.concatenate([np.asarray(x), np.asarray(mirrored)], axis=0)
