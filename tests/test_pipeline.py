@@ -58,6 +58,44 @@ def test_full_simgan_pipeline(tmp_path):
 
 
 @slow
+def test_plain_gail_behavior(tmp_path):
+    """Plain state-action GAIL (reference algo/gail.py:91-152): --gail
+    without --gail-dyn trains a motor policy in the source env against
+    expert (s, a) rows, with D-reward overwrite."""
+    import pickle
+
+    from simgan_tpu.train import train_simgan
+    from simgan_tpu.train.config import TrainConfig
+
+    # synthesize a tiny expert pickle in the 21-slot wpast format
+    rng = np.random.RandomState(0)
+    trajs = {i: [[list(rng.randn(11)) for _ in range(10)]
+                 + [list(rng.randn(3)) for _ in range(10)]
+                 + [list(rng.randn(11))] for _ in range(20)] for i in range(4)}
+    with open(tmp_path / "expert.pkl", "wb") as f:
+        pickle.dump(trajs, f)
+
+    cfg = TrainConfig(env_name="HopperURDFEnv-v3", num_processes=2, num_steps=32,
+                      num_env_steps=32 * 2 * 2, ppo_epoch=2, num_mini_batch=2,
+                      gail=True, gail_dyn=False,
+                      gail_traj_path=str(tmp_path / "expert.pkl"),
+                      gail_traj_num=4, gail_downsample_frequency=1,
+                      gail_epoch=1, gail_batch_size=16, gail_dis_hdim=32,
+                      hidden_size=32, save_dir=f"{tmp_path}/plain_gail",
+                      log_interval=1, save_interval=1, seed=0)
+    model, params, d_model, d_params = train_simgan.train(cfg)
+    # D input dim = s + a, policy is a plain MLPPolicy on the source env
+    from simgan_tpu.agents.networks import MLPPolicy
+    assert isinstance(model, MLPPolicy) and model.action_dim == 3
+    logits = d_model.apply(d_params, np.zeros((2, 14), np.float32))
+    assert np.all(np.isfinite(np.asarray(logits)))
+    # monitor.csv written by the trainer (bench.Monitor parity)
+    from simgan_tpu.utils.monitor import load_monitor_csvs
+    data = load_monitor_csvs(f"{tmp_path}/plain_gail/ppo")
+    assert data["r"].shape == data["l"].shape
+
+
+@slow
 def test_laikago_combined_steps():
     from simgan_tpu.agents.networks import MLPPolicy
     from simgan_tpu.envs.laikago_combined import (LaikagoCombinedConfig,
