@@ -1,10 +1,14 @@
 #!/usr/bin/env python
 """Benchmark of record: hybrid-sim env steps/sec on one TPU chip.
 
-Measures the SimGAN identification hot path — the HopperCombinedEnv control
-step with the frozen behavior policy fused in (contact-coefficient write +
+Measures the SimGAN identification hot path — the combined-env control step
+with the frozen behavior policy fused in (contact-coefficient write +
 10x500Hz physics substeps + behavior MLP + window bookkeeping), vmapped over
 a large env batch, jitted as one XLA program on the real chip.
+
+SIMGAN_BENCH_ENV=hopper (default) | laikago selects the robot;
+SIMGAN_BENCH_BATCH / SIMGAN_BENCH_ITERS size the run;
+SIMGAN_BENCH_SOLVER=pgs|staged overrides the contact solver.
 
 The reference publishes no numbers (BASELINE.md); the driver-set north star
 is >=1M hybrid-sim env steps/sec on a v5e-8 slice, i.e. 125k steps/sec/chip.
@@ -21,26 +25,49 @@ import time
 import jax
 import jax.numpy as jnp
 
-BATCH = int(os.environ.get("SIMGAN_BENCH_BATCH", 32768))
+ENV = os.environ.get("SIMGAN_BENCH_ENV", "hopper")
+BATCH = int(os.environ.get("SIMGAN_BENCH_BATCH", 32768 if ENV == "hopper" else 8192))
 ITERS = int(os.environ.get("SIMGAN_BENCH_ITERS", 25))
+SOLVER = os.environ.get("SIMGAN_BENCH_SOLVER", "")
 NORTH_STAR_PER_CHIP = 125_000.0
 
 
+def make_env(key):
+    from simgan_tpu.agents.networks import MLPPolicy
+
+    if ENV == "laikago":
+        from simgan_tpu.envs.laikago_combined import (LaikagoCombinedConfig,
+                                                      LaikagoCombinedEnv)
+        behavior = MLPPolicy(action_dim=12, hidden=64)
+        b_params = behavior.init(key, jnp.zeros((1, 111)))
+        cfg = LaikagoCombinedConfig(act_noise=True, obs_noise=True,
+                                    behavior_logstd=-1.3,
+                                    **({"solver": SOLVER} if SOLVER else {}))
+        env = LaikagoCombinedEnv(cfg, behavior_model=behavior,
+                                 behavior_params=b_params)
+        num_feet = 4
+    else:
+        from simgan_tpu.envs.hopper_combined import (HopperCombinedConfig,
+                                                     HopperCombinedEnv)
+        behavior = MLPPolicy(action_dim=3, hidden=64)
+        b_params = behavior.init(key, jnp.zeros((1, 11)))
+        env = HopperCombinedEnv(
+            HopperCombinedConfig(act_noise=True, obs_noise=True,
+                                 behavior_logstd=-1.3,
+                                 **({"solver": SOLVER} if SOLVER else {})),
+            behavior_model=behavior, behavior_params=b_params)
+        num_feet = 1
+    return env, num_feet
+
+
 def main():
-    from simgan_tpu.agents.networks import MLPPolicy, SplitPolicy, policy_act
-    from simgan_tpu.envs.hopper_combined import (HopperCombinedConfig,
-                                                 HopperCombinedEnv)
+    from simgan_tpu.agents.networks import SplitPolicy, policy_act
 
     key = jax.random.PRNGKey(0)
     k_b, k_d, k_env, k_run = jax.random.split(key, 4)
 
-    behavior = MLPPolicy(action_dim=3, hidden=64)
-    b_params = behavior.init(k_b, jnp.zeros((1, 11)))
-    env = HopperCombinedEnv(
-        HopperCombinedConfig(act_noise=True, obs_noise=True, behavior_logstd=-1.3),
-        behavior_model=behavior, behavior_params=b_params)
-
-    dyn = SplitPolicy(num_feet=1, hidden=100)
+    env, num_feet = make_env(k_b)
+    dyn = SplitPolicy(num_feet=num_feet, hidden=100)
     d_params = dyn.init(k_d, jnp.zeros((1, env.obs_dim)))
 
     reset_keys = jax.random.split(k_env, BATCH)
@@ -73,8 +100,10 @@ def main():
 
     steps = BATCH * ITERS * n_chunks
     sps = steps / dt
+    metric = ("hybrid_sim_env_steps_per_sec_per_chip" if ENV == "hopper"
+              else f"hybrid_sim_env_steps_per_sec_per_chip_{ENV}")
     print(json.dumps({
-        "metric": "hybrid_sim_env_steps_per_sec_per_chip",
+        "metric": metric,
         "value": round(sps, 1),
         "unit": "env_steps/s",
         "vs_baseline": round(sps / NORTH_STAR_PER_CHIP, 3),

@@ -62,6 +62,16 @@ class System:
     geom_offset: jax.Array = None   # (G, 3) sphere center in link frame
     geom_radius: jax.Array = None   # (G,)
 
+    # self-collision capsule pairs (reference loads the hopper with
+    # URDF_USE_SELF_COLLISION, hopper.py:86; btMultiBody always filters
+    # parent-child pairs, so only non-adjacent pairs are listed)
+    pair_link: tuple = struct.field(pytree_node=False, default=())  # (P, 2) link pairs
+    pair_seg: jax.Array = None      # (P, 2, 2, 3) capsule segment endpoints
+                                    # [pair, body 0/1, endpoint a/b, xyz], link frame
+    pair_radius: jax.Array = None   # (P,) sum of the two capsule radii
+    pair_friction: jax.Array = None # (P,) combined lateral friction (Bullet
+                                    # default 0.5 per side -> 0.25)
+
     @property
     def n_links(self) -> int:
         return len(self.parent)
@@ -69,6 +79,10 @@ class System:
     @property
     def n_geoms(self) -> int:
         return len(self.geom_link)
+
+    @property
+    def n_pairs(self) -> int:
+        return len(self.pair_link)
 
     @property
     def nv(self) -> int:
@@ -186,6 +200,10 @@ def make_system(
     geom_link: Sequence[int] = (),
     geom_offset: Any = None,
     geom_radius: Any = None,
+    pair_link: Sequence[Sequence[int]] = (),
+    pair_seg: Any = None,
+    pair_radius: Any = None,
+    pair_friction: Any = None,
 ) -> System:
     """Convenience constructor from plain python lists (model registry entry).
 
@@ -236,4 +254,11 @@ def make_system(
         geom_link=tuple(geom_link),
         geom_offset=(jnp.zeros((0, 3)) if n_geoms == 0 else jnp.asarray(geom_offset, dtype=jnp.float32).reshape(n_geoms, 3)),
         geom_radius=(jnp.zeros((0,)) if n_geoms == 0 else jnp.asarray(geom_radius, dtype=jnp.float32)),
+        pair_link=tuple(tuple(p) for p in pair_link),
+        pair_seg=(None if not pair_link else
+                  jnp.asarray(pair_seg, dtype=jnp.float32).reshape(len(pair_link), 2, 2, 3)),
+        pair_radius=(None if not pair_link else
+                     jnp.asarray(pair_radius, dtype=jnp.float32)),
+        pair_friction=(jnp.full((len(pair_link),), 0.25) if pair_link and pair_friction is None
+                       else (None if not pair_link else jnp.asarray(pair_friction, dtype=jnp.float32))),
     )

@@ -66,6 +66,7 @@ class HopperCombinedConfig:
     train_dyn: bool = True
     behavior_logstd: float | None = None
     max_episode_steps: int = base.MAX_EPISODE_STEPS
+    solver: str = "pgs"           # contact solver: 'pgs' | 'staged'
 
 
 @struct.dataclass
@@ -99,7 +100,11 @@ class HopperCombinedEnv:
         from simgan_tpu.physics.engine import PhysicsConfig
 
         # canonical floor: plane at z=0.05 (reference:165-167)
-        self.phys_cfg = PhysicsConfig(base_pos=hopper_model.BASE_INIT_POS)
+        from simgan_tpu.physics.contact import ContactConfig
+
+        self.phys_cfg = PhysicsConfig(
+            base_pos=hopper_model.BASE_INIT_POS,
+            contact=ContactConfig(solver=config.solver))
 
         if config.train_dyn:
             assert behavior_model is not None and behavior_params is not None

@@ -108,4 +108,17 @@ def make_hopper(heavy_head: bool = False) -> System:
             [0.0, 0.0, -0.2],
         ],
         geom_radius=[0.06, 0.06, 0.04, 0.05],
+        # self-collision capsule pairs (reference loads with
+        # URDF_USE_SELF_COLLISION, hopper.py:86; btMultiBody filters
+        # parent-child, leaving torso-leg, torso-foot, thigh-foot).  Capsule
+        # segments from the URDF collision shapes (hopper_my.urdf:47-94):
+        # torso len .4 r .05 @origin, thigh len .45 r .05 @(0,0,-.225),
+        # leg len .5 r .04 @(0,0,-.25), foot len .45 r .06 axis x @(.065,0,0).
+        pair_link=[(3, 5), (3, 6), (4, 6)],
+        pair_seg=[
+            [[[0, 0, 0.2], [0, 0, -0.2]], [[0, 0, 0], [0, 0, -0.5]]],
+            [[[0, 0, 0.2], [0, 0, -0.2]], [[-0.16, 0, 0], [0.29, 0, 0]]],
+            [[[0, 0, 0], [0, 0, -0.45]], [[-0.16, 0, 0], [0.29, 0, 0]]],
+        ],
+        pair_radius=[0.05 + 0.04, 0.05 + 0.06, 0.05 + 0.06],
     )

@@ -57,6 +57,12 @@ class ContactConfig(NamedTuple):
     # unrolled scalar graph defeats the vector units.  Kept as an option for
     # experimentation.
     unroll: bool = False
+    # 'pgs': sequential Gauss-Seidel row sweep (R serial updates/iteration).
+    # 'staged': TPU-parallel variant — all normal rows updated together, then
+    # all friction rows, via 2 (R,R) matvecs per sweep instead of R serial
+    # rank-1 updates.  Converges like block-Jacobi with GS between stages;
+    # big win for many-contact robots (laikago: R=40).
+    solver: str = "pgs"
 
 
 def _combined_params(sys: System, dp: DomainParams, cfg: ContactConfig):
@@ -88,18 +94,56 @@ def contact_impulses(
     """Return the post-contact generalized velocity.
 
     ``qd_free`` is the velocity after applying all smooth forces for one
-    substep.  Solves a small PGS system (4 rows per candidate contact:
-    normal, 2 tangents, torsional) with Bullet-style soft constraints.
+    substep.  Solves a small PGS system (4 rows per candidate floor contact:
+    normal, 2 tangents, torsional; plus 3 rows per self-collision capsule
+    pair) with Bullet-style soft constraints.
     """
     G = sys.n_geoms
-    if G == 0:
+    if G == 0 and sys.n_pairs == 0:
         return qd_free
     with jax.default_matmul_precision("highest"):
         return _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg)
 
 
+def _closest_seg_seg(p1, q1, p2, q2):
+    """Closest points between 3-D segments [p1,q1], [p2,q2] (scalar shapes;
+    the standard clamped-parameter algorithm, jit-safe)."""
+    d1 = q1 - p1
+    d2 = q2 - p2
+    r = p1 - p2
+    a = jnp.dot(d1, d1)
+    e = jnp.dot(d2, d2)
+    b = jnp.dot(d1, d2)
+    c = jnp.dot(d1, r)
+    f = jnp.dot(d2, r)
+    denom = a * e - b * b
+    s = jnp.where(denom > 1e-12, jnp.clip((b * f - c * e) / jnp.where(denom > 1e-12, denom, 1.0), 0.0, 1.0), 0.0)
+    t = (b * s + f) / jnp.maximum(e, 1e-12)
+    t_cl = jnp.clip(t, 0.0, 1.0)
+    s = jnp.clip((b * t_cl - c) / jnp.maximum(a, 1e-12), 0.0, 1.0)
+    t = jnp.clip((b * s + f) / jnp.maximum(e, 1e-12), 0.0, 1.0)
+    return p1 + s * d1, p2 + t * d2
+
+
+def _tangent_basis(n):
+    """Two unit tangents orthogonal to n (jit-safe branchless pick)."""
+    ref = jnp.where(jnp.abs(n[0]) < 0.9,
+                    jnp.array([1.0, 0.0, 0.0]), jnp.array([0.0, 1.0, 0.0]))
+    t1 = jnp.cross(n, ref)
+    t1 = t1 / jnp.maximum(jnp.linalg.norm(t1), 1e-9)
+    t2 = jnp.cross(n, t1)
+    return t1, t2
+
+
+# Bullet's default contact erp2 used for link-link (non-compliant) contacts —
+# self-collision pairs have no contactStiffness set in the reference, so they
+# get the global solver defaults rather than the per-body ERP/CFM conversion.
+PAIR_ERP = 0.2
+
+
 def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg) -> jax.Array:
     G = sys.n_geoms
+    P = sys.n_pairs
     nv = sys.nv
     kin = dyn.kin
 
@@ -129,21 +173,48 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg) -> jax.Array:
         rows.append(smallmm.vm(t1, j_pt))
         rows.append(smallmm.vm(t2, j_pt))
         rows.append(smallmm.vm(n_vec, kin.jw[l]))           # torsional row
-    J = jnp.stack(rows)                                     # (4G, NV)
+    # --- self-collision capsule pairs: [normal; t1; t2] each ---
+    pair_active, pair_pushout = [], []
+    for p in range(P):
+        li, lj = sys.pair_link[p]
+        seg = sys.pair_seg[p]
+        a1 = kin.pos[li] + maths.quat_rotate(kin.quat[li], seg[0, 0])
+        b1 = kin.pos[li] + maths.quat_rotate(kin.quat[li], seg[0, 1])
+        a2 = kin.pos[lj] + maths.quat_rotate(kin.quat[lj], seg[1, 0])
+        b2 = kin.pos[lj] + maths.quat_rotate(kin.quat[lj], seg[1, 1])
+        c1, c2 = _closest_seg_seg(a1, b1, a2, b2)
+        diff = c1 - c2
+        dist = jnp.linalg.norm(diff)
+        n = diff / jnp.maximum(dist, 1e-9)
+        gap = dist - sys.pair_radius[p]
+        pair_active.append(gap < 0.0)
+        pair_pushout.append(-(PAIR_ERP / dt) * jnp.minimum(gap, 0.0))
+        j1 = kin.jv[li] - smallmm.mm(maths.skew(c1 - kin.com[li]), kin.jw[li])
+        j2 = kin.jv[lj] - smallmm.mm(maths.skew(c2 - kin.com[lj]), kin.jw[lj])
+        j_rel = j1 - j2                                     # (3, NV)
+        tp1, tp2 = _tangent_basis(n)
+        rows.append(smallmm.vm(n, j_rel))
+        rows.append(smallmm.vm(tp1, j_rel))
+        rows.append(smallmm.vm(tp2, j_rel))
+    J = jnp.stack(rows)                                     # (4G + 3P, NV)
 
-    A = smallmm.mm(smallmm.mm(J, dyn.m_inv), J.T)           # (4G, 4G)
+    A = smallmm.mm(smallmm.mm(J, dyn.m_inv), J.T)           # (R, R)
     v0 = smallmm.mv(J, qd_free)                             # row velocities pre-impulse
 
     # restitution bias on normal rows from the *pre-contact* approach speed
     # (static-index stack, not a strided slice: strided slices become gathers
     # under vmap, which Mosaic cannot lower)
-    v_n = jnp.stack([v0[..., 4 * g] for g in range(G)], axis=-1)
-    bounce = jnp.where(v_n < -cfg.restitution_threshold, -e * v_n, 0.0)
-    rhs_n = jnp.maximum(bounce, pushout)                    # Bullet takes max of the two
+    if G:
+        v_n = jnp.stack([v0[..., 4 * g] for g in range(G)], axis=-1)
+        bounce = jnp.where(v_n < -cfg.restitution_threshold, -e * v_n, 0.0)
+        rhs_n = jnp.maximum(bounce, pushout)                # Bullet takes max of the two
+    else:
+        rhs_n = jnp.zeros((0,))
 
-    R = 4 * G
+    R = 4 * G + 3 * P
 
     if cfg.unroll:
+        assert P == 0, "unrolled PGS supports floor contacts only"
         # Fully unrolled Gauss-Seidel over scalars: every update is a chain of
         # elementwise ops over the (vmapped) batch — no scatters, no gathers,
         # no loop-iteration overhead; this is the Pallas-kernel path.
@@ -168,24 +239,64 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg) -> jax.Array:
         lam = jnp.stack(lam)
         return qd_free + smallmm.mv(dyn.m_inv, smallmm.mv(J.T, lam))
 
-    softness_r = jnp.repeat(softness, 4)
-    a_diag = jnp.sum(A * jnp.eye(R), axis=-1)   # Mosaic-safe diagonal
-    inv_diag = 1.0 / jnp.maximum(a_diag + softness_r, 1e-9)
-
     # Rolled variant: per-row metadata + fori_loop (compact compile graph).
     row_type = jnp.tile(jnp.arange(4), G)                  # 0=n,1=t1,2=t2,3=spin
     row_geom = jnp.repeat(jnp.arange(G), 4)
-    rhs = jnp.where(row_type == 0, rhs_n[row_geom], 0.0)   # (R,)
+    rhs = jnp.where(row_type == 0, rhs_n[row_geom], 0.0)   # (4G,)
     active_r = active[row_geom]
     mu_r = jnp.where(row_type == 3, mu_spin[row_geom], mu[row_geom])
+    softness_r = jnp.repeat(softness, 4)
+    is_normal_r = row_type == 0
+    norm_idx = 4 * (jnp.arange(4 * G) // 4)
+
+    if P:
+        pair_rt = jnp.tile(jnp.arange(3), P)               # 0=n,1=t1,2=t2
+        pair_row_p = jnp.repeat(jnp.arange(P), 3)
+        rhs = jnp.concatenate([
+            rhs, jnp.where(pair_rt == 0, jnp.stack(pair_pushout)[pair_row_p], 0.0)])
+        active_r = jnp.concatenate([active_r, jnp.stack(pair_active)[pair_row_p]])
+        mu_r = jnp.concatenate([mu_r, sys.pair_friction[pair_row_p]])
+        softness_r = jnp.concatenate([softness_r, jnp.zeros(3 * P)])
+        is_normal_r = jnp.concatenate([is_normal_r, pair_rt == 0])
+        norm_idx = jnp.concatenate([norm_idx, 4 * G + 3 * pair_row_p])
+
+    a_diag = jnp.sum(A * jnp.eye(R), axis=-1)   # Mosaic-safe diagonal
+    inv_diag = 1.0 / jnp.maximum(a_diag + softness_r, 1e-9)
+
+    if cfg.solver == "staged":
+        import numpy as _np
+
+        # constant selector: S @ lam -> each row's controlling normal impulse
+        # (a tiny constant matmul instead of a gather — vmap/fusion friendly)
+        norm_idx_np = _np.concatenate(
+            [4 * (_np.arange(4 * G) // 4),
+             4 * G + 3 * _np.repeat(_np.arange(P), 3)]).astype(_np.int64)
+        S = _np.zeros((R, R), dtype=_np.float32)
+        S[_np.arange(R), norm_idx_np] = 1.0
+        S = jnp.asarray(S)
+
+        def sweep(_, lam):
+            for phase_is_normal in (True, False):
+                v = v0 + smallmm.mv(A, lam)
+                cand = lam + (rhs - v - softness_r * lam) * inv_diag
+                lam_n = smallmm.mv(S, lam)
+                lo = jnp.where(is_normal_r, 0.0, -mu_r * lam_n)
+                hi = jnp.where(is_normal_r, jnp.inf, mu_r * lam_n)
+                new = jnp.where(active_r, jnp.clip(cand, lo, hi), 0.0)
+                phase = is_normal_r if phase_is_normal else ~is_normal_r
+                lam = jnp.where(phase, new, lam)
+            return lam
+
+        lam = jax.lax.fori_loop(0, cfg.iterations, sweep, jnp.zeros(R))
+        return qd_free + smallmm.mv(dyn.m_inv, smallmm.mv(J.T, lam))
 
     def row_body(i, lam):
         r = i % R
         a_row = jax.lax.dynamic_slice_in_dim(A, r, 1, 0)[0]
         v = v0[r] + jnp.sum(a_row * lam)
         cand = lam[r] + (rhs[r] - v - softness_r[r] * lam[r]) * inv_diag[r]
-        lam_n = lam[(r // 4) * 4]                          # this contact's normal impulse
-        is_normal = row_type[r] == 0
+        lam_n = lam[norm_idx[r]]                           # this contact's normal impulse
+        is_normal = is_normal_r[r]
         lo = jnp.where(is_normal, 0.0, -mu_r[r] * lam_n)
         hi = jnp.where(is_normal, jnp.inf, mu_r[r] * lam_n)
         new = jnp.where(active_r[r], jnp.clip(cand, lo, hi), 0.0)
