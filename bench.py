@@ -87,8 +87,14 @@ def main():
         (states, obs), rewards = jax.lax.scan(body, (states, obs), keys)
         return states, obs, rewards.mean()
 
-    # warmup / compile
+    # warmup / compile — twice, chained: the second call's inputs are chunk
+    # OUTPUTS, so the timed loop below hits the steady-state compilation
+    # (reset-built pytrees differ in weak-type details from scan outputs; a
+    # single warmup left one recompile inside the timed region, understating
+    # throughput ~3x).
     states, obs, _ = jax.block_until_ready(rollout_chunk(states, obs, k_run))
+    k_run, k = jax.random.split(k_run)
+    states, obs, _ = jax.block_until_ready(rollout_chunk(states, obs, k))
 
     t0 = time.perf_counter()
     n_chunks = 3

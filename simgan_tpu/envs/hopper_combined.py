@@ -104,7 +104,7 @@ class HopperCombinedEnv:
 
         self.phys_cfg = PhysicsConfig(
             base_pos=hopper_model.BASE_INIT_POS,
-            contact=ContactConfig(solver=config.solver))
+            contact=ContactConfig(solver=config.solver, iterations=5))
 
         if config.train_dyn:
             assert behavior_model is not None and behavior_params is not None

@@ -74,7 +74,8 @@ class HopperEnv:
 
         self.phys_cfg = PhysicsConfig(
             base_pos=hopper_model.BASE_INIT_POS,
-            contact=ContactConfig(combine="floor" if config.deform_floor_env else "bullet"),
+            contact=ContactConfig(combine="floor" if config.deform_floor_env else "bullet",
+                                  iterations=5),  # warm-started (test_contact_solvers)
         )
 
     # -- domain parameter setup (reset-time changeDynamics calls) ----------

@@ -83,7 +83,8 @@ class LaikagoCombinedEnv:
         self.sys = laika_model.make_laikago(heavy_leg=False)
         from simgan_tpu.physics.contact import ContactConfig
 
-        self.phys_cfg = PhysicsConfig(contact=ContactConfig(solver=config.solver))
+        self.phys_cfg = PhysicsConfig(contact=ContactConfig(solver=config.solver,
+                                                            iterations=5))
         self._inner = LaikagoEnv.__new__(LaikagoEnv)  # reuse obs builders
         self._inner.cfg = LaikagoConfig()
         self._inner.sys = self.sys

@@ -100,7 +100,8 @@ class LaikagoEnv:
         self.cfg = config
         self.sys = laika_model.make_laikago(heavy_leg=config.heavy_leg_env)
         self.phys_cfg = PhysicsConfig(
-            contact=ContactConfig(combine="floor" if config.deform_floor_env else "bullet"),
+            contact=ContactConfig(combine="floor" if config.deform_floor_env else "bullet",
+                                  iterations=5),  # warm-started (test_contact_solvers)
         )
 
     # -- domain parameters (reset-time changeDynamics) ----------------------

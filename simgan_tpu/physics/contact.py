@@ -61,8 +61,16 @@ class ContactConfig(NamedTuple):
     # 'staged': TPU-parallel variant — all normal rows updated together, then
     # all friction rows, via 2 (R,R) matvecs per sweep instead of R serial
     # rank-1 updates.  Converges like block-Jacobi with GS between stages;
-    # big win for many-contact robots (laikago: R=40).
+    # wins when the rollout is LATENCY-bound (small env batches: 20 serial
+    # matvecs/substep vs laikago's 400 serial row updates), loses when
+    # bandwidth-bound (large batches re-read the full (R,R) Delassus matrix
+    # every sweep).
     solver: str = "pgs"
+    # Thread each substep's impulse solution into the next substep's solve
+    # (control_step scan).  Bullet warm-starts its sequential-impulse solver
+    # the same way; contacts persist across 2 ms substeps, so converged
+    # accuracy is reached with far fewer sweeps.
+    warm_start: bool = True
 
 
 def _combined_params(sys: System, dp: DomainParams, cfg: ContactConfig):
@@ -83,6 +91,11 @@ def _combined_params(sys: System, dp: DomainParams, cfg: ContactConfig):
     return mu, mu_spin, e, k, d
 
 
+def n_rows(sys: System) -> int:
+    """Constraint-row count of the static candidate contact set."""
+    return 4 * sys.n_geoms + 3 * sys.n_pairs
+
+
 def contact_impulses(
     sys: System,
     dp: DomainParams,
@@ -90,19 +103,29 @@ def contact_impulses(
     qd_free: jax.Array,
     dt: float,
     cfg: ContactConfig,
-) -> jax.Array:
+    lam0: jax.Array | None = None,
+) -> jax.Array | tuple[jax.Array, jax.Array]:
     """Return the post-contact generalized velocity.
 
     ``qd_free`` is the velocity after applying all smooth forces for one
     substep.  Solves a small PGS system (4 rows per candidate floor contact:
     normal, 2 tangents, torsional; plus 3 rows per self-collision capsule
     pair) with Bullet-style soft constraints.
+
+    ``lam0``: optional (R,) warm-start impulses (e.g. last substep's
+    solution — Bullet warm-starts its sequential-impulse solver the same way
+    across steps).  When given, returns ``(qd_new, lam)`` so the caller can
+    thread the impulses through a substep scan; when None, returns just
+    ``qd_new`` (cold start from zeros).
     """
     G = sys.n_geoms
     if G == 0 and sys.n_pairs == 0:
-        return qd_free
+        return qd_free if lam0 is None else (qd_free, jnp.zeros((0,)))
     with jax.default_matmul_precision("highest"):
-        return _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg)
+        qd_new, lam = _contact_impulses_f32(
+            sys, dp, dyn, qd_free, dt, cfg,
+            jnp.zeros(n_rows(sys)) if lam0 is None else lam0)
+    return qd_new if lam0 is None else (qd_new, lam)
 
 
 def _closest_seg_seg(p1, q1, p2, q2):
@@ -141,7 +164,7 @@ def _tangent_basis(n):
 PAIR_ERP = 0.2
 
 
-def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg) -> jax.Array:
+def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg, lam0):
     G = sys.n_geoms
     P = sys.n_pairs
     nv = sys.nv
@@ -218,7 +241,8 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg) -> jax.Array:
         # Fully unrolled Gauss-Seidel over scalars: every update is a chain of
         # elementwise ops over the (vmapped) batch — no scatters, no gathers,
         # no loop-iteration overhead; this is the Pallas-kernel path.
-        lam = [jnp.zeros(()) for _ in range(R)]
+        # stale impulses on now-inactive rows must not leak into the sweep
+        lam = [jnp.where(active[r // 4], lam0[r], 0.0) for r in range(R)]
         for _ in range(cfg.iterations):
             for g in range(G):
                 base_r = 4 * g
@@ -237,7 +261,7 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg) -> jax.Array:
                         new = jnp.clip(cand, -lim, lim)
                     lam[r] = jnp.where(active[g], new, 0.0)
         lam = jnp.stack(lam)
-        return qd_free + smallmm.mv(dyn.m_inv, smallmm.mv(J.T, lam))
+        return qd_free + smallmm.mv(dyn.m_inv, smallmm.mv(J.T, lam)), lam
 
     # Rolled variant: per-row metadata + fori_loop (compact compile graph).
     row_type = jnp.tile(jnp.arange(4), G)                  # 0=n,1=t1,2=t2,3=spin
@@ -287,8 +311,9 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg) -> jax.Array:
                 lam = jnp.where(phase, new, lam)
             return lam
 
-        lam = jax.lax.fori_loop(0, cfg.iterations, sweep, jnp.zeros(R))
-        return qd_free + smallmm.mv(dyn.m_inv, smallmm.mv(J.T, lam))
+        lam = jax.lax.fori_loop(0, cfg.iterations, sweep,
+                                jnp.where(active_r, lam0, 0.0))
+        return qd_free + smallmm.mv(dyn.m_inv, smallmm.mv(J.T, lam)), lam
 
     def row_body(i, lam):
         r = i % R
@@ -302,5 +327,6 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg) -> jax.Array:
         new = jnp.where(active_r[r], jnp.clip(cand, lo, hi), 0.0)
         return lam.at[r].set(new)
 
-    lam = jax.lax.fori_loop(0, cfg.iterations * R, row_body, jnp.zeros(R))
-    return qd_free + smallmm.mv(dyn.m_inv, smallmm.mv(J.T, lam))
+    lam = jax.lax.fori_loop(0, cfg.iterations * R, row_body,
+                            jnp.where(active_r, lam0, 0.0))
+    return qd_free + smallmm.mv(dyn.m_inv, smallmm.mv(J.T, lam)), lam

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from simgan_tpu.core import maths
 from simgan_tpu.core.system import DomainParams, PhysState, System
 from simgan_tpu.physics import smallmm
-from simgan_tpu.physics.contact import ContactConfig, contact_impulses
+from simgan_tpu.physics.contact import ContactConfig, contact_impulses, n_rows
 from simgan_tpu.physics.dynamics import compute_dynamics, joint_space_torques
 
 
@@ -42,12 +42,17 @@ def substep(
     motor_torque: jax.Array,
     cfg: PhysicsConfig,
     ext_forces: jax.Array | None = None,
-) -> PhysState:
+    lam0: jax.Array | None = None,
+) -> PhysState | tuple[PhysState, jax.Array]:
     """One dt=1/500 step: smooth forces, contact impulses, semi-implicit Euler.
 
     ``ext_forces``: optional (G, 3) world-frame forces applied at the contact
     geom centers — used by the laikago random-push training mode
     (laikago_env_v4.py:303-315, utils.apply_external_world_force_on_local_point).
+
+    ``lam0``: optional (R,) contact-impulse warm start; when given the return
+    is ``(state, lam)`` so ``control_step`` can thread impulses across the
+    substep scan (Bullet's solver warm-starts the same way).
     """
     base_pos = jnp.asarray(cfg.base_pos) if sys.fixed_base else None
 
@@ -71,7 +76,12 @@ def substep(
     qd_free = state.qd + smallmm.mv(
         dyn.m_inv, cfg.dt * (tau - dyn.bias) - cfg.dt * damp_diag * state.qd
     )
-    qd_new = contact_impulses(sys, dp, dyn, qd_free, cfg.dt, cfg.contact)
+    if lam0 is None:
+        qd_new = contact_impulses(sys, dp, dyn, qd_free, cfg.dt, cfg.contact)
+        lam = None
+    else:
+        qd_new, lam = contact_impulses(
+            sys, dp, dyn, qd_free, cfg.dt, cfg.contact, lam0=lam0)
 
     # --- integrate configuration ---
     if sys.fixed_base:
@@ -101,10 +111,12 @@ def substep(
     jqd = jnp.where(at_lo & (jqd < 0), 0.0, jnp.where(at_hi & (jqd > 0), 0.0, jqd))
 
     if sys.fixed_base:
-        return PhysState(q=clipped, qd=jqd)
-    q_out = jnp.concatenate([pos, quat, clipped])
-    qd_out = jnp.concatenate([qd_new[0:6], jqd])
-    return PhysState(q=q_out, qd=qd_out)
+        out = PhysState(q=clipped, qd=jqd)
+    else:
+        q_out = jnp.concatenate([pos, quat, clipped])
+        qd_out = jnp.concatenate([qd_new[0:6], jqd])
+        out = PhysState(q=q_out, qd=qd_out)
+    return out if lam is None else (out, lam)
 
 
 def control_step(
@@ -119,7 +131,24 @@ def control_step(
     """control_skip x substep with constant torque (the 50 Hz control tick).
 
     ``ext_forces``: optional (control_skip, G, 3) per-substep external forces.
+
+    With ``cfg.contact.warm_start`` (default) the contact impulses are
+    threaded through the substep scan: each substep's PGS starts from the
+    previous substep's solution, like Bullet's warm-started sequential
+    impulse solver.  Contacts persist across the 2 ms substeps, so far fewer
+    sweeps are needed per substep for the same converged trajectory.
     """
+    if cfg.contact.warm_start and n_rows(sys) > 0:
+
+        def body_w(carry, f):
+            s, lam = carry
+            return substep(sys, dp, s, motor_torque, cfg, ext_forces=f,
+                           lam0=lam), None
+
+        (out, _), _ = jax.lax.scan(
+            body_w, (state, jnp.zeros(n_rows(sys))), ext_forces,
+            length=control_skip)
+        return out
 
     def body(s, f):
         return substep(sys, dp, s, motor_torque, cfg, ext_forces=f), None

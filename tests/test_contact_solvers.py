@@ -72,3 +72,46 @@ def test_hopper_staged_matches_pgs_with_pairs():
     assert np.linalg.norm(ref - qd) > 1e-6
     err = np.linalg.norm(got - ref) / np.linalg.norm(ref)
     assert err < 2e-2, err
+
+
+def _rollout(sys, q0, qd0, contact_cfg, n_ctrl=25, base_pos=None, tau=None):
+    from simgan_tpu.physics.engine import PhysicsConfig, control_step
+
+    cfg = PhysicsConfig(contact=contact_cfg,
+                        **({"base_pos": base_pos} if base_pos else {}))
+    dp = DomainParams.default(sys)
+    st = PhysState(q=jnp.asarray(q0), qd=jnp.asarray(qd0))
+    tau = jnp.zeros(len(sys.actuated)) if tau is None else jnp.asarray(tau)
+    step = jax.jit(lambda s: control_step(sys, dp, s, tau, cfg))
+    traj = []
+    for _ in range(n_ctrl):
+        st = step(st)
+        traj.append(np.concatenate([np.asarray(st.q), np.asarray(st.qd)]))
+    return np.stack(traj)
+
+
+def test_warm_start_trajectory_laikago():
+    """Warm-started PGS@5 tracks cold PGS@100 over a 0.5 s contact-rich
+    rollout (settling from above the floor onto all four feet)."""
+    sys, states = _laika_contact_states(n=1, seed=3)
+    q0, qd0 = states[0]
+    ref = _rollout(sys, q0, qd0, ContactConfig(iterations=100, warm_start=False))
+    warm = _rollout(sys, q0, qd0, ContactConfig(iterations=5, warm_start=True))
+    # compare generalized positions (q includes base pose + 12 joints)
+    nq = sys.nq if hasattr(sys, "nq") else len(q0)
+    err = np.abs(warm[:, :nq] - ref[:, :nq]).max()
+    assert err < 5e-3, f"warm@5 vs cold@100 max q err {err:.2e}"
+
+
+def test_warm_start_trajectory_hopper():
+    from simgan_tpu.models.hopper import BASE_INIT_POS, make_hopper
+
+    sys = make_hopper()
+    q0 = np.array([0.0, 0.02, 0.1, -0.3, -0.2, 0.1], np.float32)
+    qd0 = np.array([0.5, -0.3, 0.1, 0.2, -0.1, 0.3], np.float32)
+    ref = _rollout(sys, q0, qd0, ContactConfig(iterations=100, warm_start=False),
+                   base_pos=tuple(BASE_INIT_POS))
+    warm = _rollout(sys, q0, qd0, ContactConfig(iterations=5, warm_start=True),
+                    base_pos=tuple(BASE_INIT_POS))
+    err = np.abs(warm - ref).max()
+    assert err < 5e-3, f"warm@5 vs cold@100 max err {err:.2e}"
