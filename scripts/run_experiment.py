@@ -72,7 +72,7 @@ def scaled_ensemble_iters(cfg: TrainConfig, save_interval: int) -> list[int]:
 
 def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         overrides_id: dict | None = None, overrides_refine: dict | None = None,
-        id_env_extra_kwargs: dict | None = None):
+        id_env_extra_kwargs: dict | None = None, collect_det: bool = False):
     exp = EXPERIMENTS[name]
     robot = _robot(exp["common"]["env_name"])
     behavior_dir = BEHAVIOR[exp["behavior_env"]]
@@ -121,11 +121,22 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
               flush=True)
 
     if "collect" in stages:
+        # reference collect_tarsim_traj defaults to --non-det 0: expert data
+        # comes from the DETERMINISTIC policy, with diversity from the env's
+        # act_noise/obs_noise flags (collect_tarsim_traj.py:111-114, 140).
+        # collect_det=True matches that; the historical default here (False)
+        # samples the stochastic policy instead.
         t0 = time.time()
+        collect_kwargs = dict(target_kwargs)
+        if collect_det:
+            # the reference collects with env-level noise on (README test
+            # commands: --act_noise 1 --obs_noise 1), which is what gives
+            # the deterministic policy its data diversity
+            collect_kwargs.update(act_noise=1, obs_noise=1)
         res = collect(CollectConfig(
             env_name=exp["behavior_env"], load_dir=behavior_dir,
-            save_traj=True, num_trajs=200, non_det=True,
-            save_path=traj_path, seed=0, max_steps=500), target_kwargs)
+            save_traj=True, num_trajs=200, non_det=not collect_det,
+            save_path=traj_path, seed=0, max_steps=500), collect_kwargs)
         _mark("collect", t0, collect_mean=res["mean_reward"],
               collect_median=res["median_reward"])
 
@@ -183,10 +194,14 @@ def main(argv=None):
     p.add_argument("--tag", default="")
     p.add_argument("--s-idx", default="0")
     p.add_argument("--a-idx", default="0")
+    p.add_argument("--collect-det", type=int, default=0,
+                   help="collect expert data deterministically with env "
+                        "act/obs noise, like the reference (--non-det 0)")
     args = p.parse_args(argv)
     run(args.experiment, args.stages.split(","), tag=args.tag,
         s_idx=tuple(int(x) for x in args.s_idx.split(",")),
-        a_idx=tuple(int(x) for x in args.a_idx.split(",")))
+        a_idx=tuple(int(x) for x in args.a_idx.split(",")),
+        collect_det=bool(args.collect_det))
 
 
 if __name__ == "__main__":

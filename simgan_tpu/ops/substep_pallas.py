@@ -18,6 +18,18 @@ by the unrolled factorization in physics/linalg.py.
 Use ``pallas_control_step`` as a drop-in for
 ``jax.vmap(control_step)`` on batched states; set ``interpret=True`` to run
 on CPU for tests.
+
+Mosaic status (re-checked 2026-08-17, jax 0.9 / v5e via the axon remote
+compile tunnel): still blocked.  Repro: pair-free hopper System, B=256,
+tile=256, interpret=False → the Mosaic MLIR (≈387 KB) is generated
+client-side but the remote `tpu_compile_helper` subprocess exits 1 and the
+HTTP 500 swallows the Mosaic diagnostic (earlier direct runs showed a
+`tpu.concatenate` layout limitation: three vector<512x1> → 512x3).  Also
+note the kernel predates capsule-pair rows — the in-kernel unrolled PGS
+asserts floor-contacts-only, so hopper must be built without `pair_*`
+fields to reach the lowering at all.  The XLA path (964k hopper / 157k
+laikago hybrid steps/s/chip) already exceeds the north star, so this
+kernel remains an interpret-mode-tested experiment, not a production path.
 """
 
 from __future__ import annotations
