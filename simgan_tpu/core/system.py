@@ -136,8 +136,17 @@ class DomainParams:
     floor_stiffness: jax.Array
     floor_damping: jax.Array
     floor_z: jax.Array               # () plane height
-    # deformable floor surrogate (active when deform_scale > 0)
-    deform_scale: jax.Array = None   # () 0.0 = rigid floor
+    # finite deformable-mattress extent (deform_floor_env): the reference
+    # mattress is a 20 m cube at basePosition [7, 0, .] (cube_fat.obj spans
+    # +-0.5 in x/y, scale 20 => x in [-3, 17], y in [-10, 10];
+    # hopper_env_v3.py:134-149, laikago_env_v4.py:172-183).  Outside the
+    # extent, contact is against the backup hard plane at ``hard_floor_z``
+    # (z=-10.10 hopper / -10.02 laikago).  Defaults (+-1e9) make the soft
+    # floor infinite, i.e. the feature is off.
+    mattress_x: jax.Array = None     # (2,) [x_lo, x_hi]
+    mattress_y: jax.Array = None     # (2,) [y_lo, y_hi]
+    hard_floor_z: jax.Array = None   # () backup plane height
+    hard_floor_friction: jax.Array = None  # () backup plane lateralFriction
 
     @classmethod
     def default(cls, sys: System) -> "DomainParams":
@@ -159,7 +168,10 @@ class DomainParams:
             floor_stiffness=jnp.asarray(1.0),
             floor_damping=jnp.asarray(2000.0),
             floor_z=jnp.asarray(0.0),
-            deform_scale=jnp.asarray(0.0),
+            mattress_x=jnp.asarray([-1e9, 1e9]),
+            mattress_y=jnp.asarray([-1e9, 1e9]),
+            hard_floor_z=jnp.asarray(-10.0),
+            hard_floor_friction=jnp.asarray(0.5),
         )
 
 

@@ -42,6 +42,10 @@ class HopperConfig:
     low_power_env: bool = False
     emf_power_env: bool = False
     heavy_head_env: bool = False
+    # model the deform mattress's finite 20 m extent (cube_fat.obj at
+    # basePosition [7,0,.], scale 20 => x in [-3,17]; hopper_env_v3.py:143-145).
+    # Off = round-2 behavior (infinite soft half-space).
+    finite_mattress: bool = True
     randomization_train: bool = False
     randomization_train_addi: bool = False
     acc_pen_weight: float = 0.05
@@ -105,8 +109,16 @@ class HopperEnv:
                 floor_friction=jnp.asarray(1.0), floor_restitution=jnp.asarray(0.0),
                 floor_stiffness=jnp.asarray(1500.0), floor_damping=jnp.asarray(50.0),
                 floor_z=jnp.asarray(-0.05),
-                deform_scale=jnp.asarray(1.0),
             )
+            if cfg.finite_mattress:
+                # backup plane at z=-10.10, lateralFriction 100
+                # (hopper_env_v3.py:134-139)
+                dp = dp.replace(
+                    mattress_x=jnp.asarray([-3.0, 17.0]),
+                    mattress_y=jnp.asarray([-10.0, 10.0]),
+                    hard_floor_z=jnp.asarray(-10.10),
+                    hard_floor_friction=jnp.asarray(100.0),
+                )
         else:
             # source env (hopper_env_v3.py:150-177)
             if cfg.randomization_train:

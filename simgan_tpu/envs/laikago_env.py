@@ -58,6 +58,9 @@ class LaikagoConfig:
     heavy_leg_env: bool = False
     randomization_train: bool = False
     randomization_train_addi: bool = False
+    # model the deform mattress's finite 20 m extent (x in [-3, 17],
+    # laikago_env_v4.py:177-179).  Off = round-2 infinite half-space.
+    finite_mattress: bool = True
     randomforce_train: bool = False
     sysid_data_collection: bool = False
     final_test: bool = False
@@ -132,8 +135,16 @@ class LaikagoEnv:
                 floor_friction=jnp.asarray(1.0), floor_restitution=jnp.asarray(0.0),
                 floor_stiffness=jnp.asarray(60000.0), floor_damping=jnp.asarray(150.0),
                 floor_z=jnp.asarray(0.0),
-                deform_scale=jnp.asarray(1.0),
             )
+            if cfg.finite_mattress:
+                # backup plane at z=-10.02, friction left at the pybullet
+                # default 0.5 (laikago_env_v4.py:172-176)
+                dp = dp.replace(
+                    mattress_x=jnp.asarray([-3.0, 17.0]),
+                    mattress_y=jnp.asarray([-10.0, 10.0]),
+                    hard_floor_z=jnp.asarray(-10.02),
+                    hard_floor_friction=jnp.asarray(0.5),
+                )
         else:
             if cfg.randomization_train:
                 keys = jax.random.split(key, 10)

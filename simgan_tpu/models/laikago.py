@@ -175,6 +175,37 @@ def make_laikago(heavy_leg: bool = False) -> System:
     geom_offset += [[0.0, 0.014, 0.23], [0.0, 0.014, -0.17]]
     geom_radius += [0.09, 0.09]
 
+    # --- self-collision capsule pairs -------------------------------------
+    # The reference loads with URDF_USE_SELF_COLLISION (laikago.py:104);
+    # btMultiBody filters parent-child.  Trajectory-distribution analysis
+    # (scripts/laika_selfcol_sweep.py + expert-data clearance sweep) shows the
+    # engaged pairs during gait/falls are leg-leg: left-right upper-upper and
+    # lower-lower (legs crossing via hip roll), and same-side fore-aft
+    # lower-lower (front leg swinging back into the rear leg).  Chassis-leg
+    # pairs are omitted: the vhacd chassis mesh's capsule approximation
+    # overlaps the hip region at the *nominal* pose (false positives in 100%
+    # of frames), so a capsule cannot represent that clearance.
+    # Capsules (link frames): upper leg hip->knee r=0.05 (upper_leg AABB),
+    # lower leg knee->toe r=0.03 (lower_leg_3.stl AABB / toe sphere).
+    up, lo_ = {}, {}
+    for li, leg in enumerate(["FR", "FL", "RR", "RL"]):
+        up[leg] = 1 + 3 * li + 1     # upper-leg link index
+        lo_[leg] = 1 + 3 * li + 2    # lower-leg link index
+    upper_seg = {leg: [[0.0, 0.0, 0.0], lower_org[leg]] for leg in upper_org}
+    lower_seg = [[0.017, 0.05, 0.0], list(_TOE_OFFSET)]
+    pair_link, pair_seg, pair_radius = [], [], []
+    for a, b in [("FR", "FL"), ("RR", "RL")]:          # left-right crossing
+        pair_link.append((up[a], up[b]))
+        pair_seg.append([upper_seg[a], upper_seg[b]])
+        pair_radius.append(0.05 + 0.05)
+        pair_link.append((lo_[a], lo_[b]))
+        pair_seg.append([lower_seg, lower_seg])
+        pair_radius.append(0.03 + 0.03)
+    for a, b in [("FR", "RR"), ("FL", "RL")]:          # same-side fore-aft
+        pair_link.append((lo_[a], lo_[b]))
+        pair_seg.append([lower_seg, lower_seg])
+        pair_radius.append(0.03 + 0.03)
+
     return make_system(
         name="laikago_heavy" if heavy_leg else "laikago",
         parent=parent,
@@ -193,4 +224,7 @@ def make_laikago(heavy_leg: bool = False) -> System:
         geom_link=geom_link,
         geom_offset=geom_offset,
         geom_radius=geom_radius,
+        pair_link=pair_link,
+        pair_seg=pair_seg,
+        pair_radius=pair_radius,
     )

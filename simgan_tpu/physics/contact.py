@@ -73,7 +73,17 @@ class ContactConfig(NamedTuple):
     warm_start: bool = True
 
 
-def _combined_params(sys: System, dp: DomainParams, cfg: ContactConfig):
+# Backup hard plane under the finite mattress (deform envs): the reference
+# plane has no contactStiffness set, so Bullet solves it rigidly with the
+# global erp; k/d below give erp = dt*k/(dt*k+d) = 0.2 at dt=1/500 with a
+# small cfm — near-rigid.  (The robot falls ~10 m off the mattress edge and
+# the episode terminates on height long before this contact matters.)
+HARD_K = 1e5
+HARD_D = 800.0
+
+
+def _combined_params(sys: System, dp: DomainParams, cfg: ContactConfig,
+                     on_mattress: jax.Array | None = None):
     G = sys.n_geoms
     if cfg.combine == "floor":
         mu = jnp.broadcast_to(dp.floor_friction, (G,))
@@ -81,6 +91,12 @@ def _combined_params(sys: System, dp: DomainParams, cfg: ContactConfig):
         e = jnp.broadcast_to(dp.floor_restitution, (G,))
         k = jnp.broadcast_to(dp.floor_stiffness, (G,))
         d = jnp.broadcast_to(dp.floor_damping, (G,))
+        if on_mattress is not None:
+            mu = jnp.where(on_mattress, mu, dp.hard_floor_friction)
+            mu_spin = jnp.where(on_mattress, mu_spin, 0.0)
+            e = jnp.where(on_mattress, e, 0.0)
+            k = jnp.where(on_mattress, k, HARD_K)
+            d = jnp.where(on_mattress, d, HARD_D)
     else:
         mu = jnp.clip(dp.lateral_friction * dp.floor_friction, 0.0, cfg.max_friction)
         mu_spin = dp.spinning_friction * dp.floor_friction + dp.floor_spinning_friction * dp.lateral_friction
@@ -171,10 +187,22 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg, lam0):
     kin = dyn.kin
 
     p_geom, _ = geom_world(sys, kin)
-    phi = p_geom[:, 2] - sys.geom_radius - dp.floor_z      # signed gap per geom
+    if cfg.combine == "floor":
+        # finite-mattress support: per-geom floor height/params switch to the
+        # backup hard plane outside the mattress x/y extent (no-op at the
+        # default +-1e9 extent)
+        on_mattress = ((p_geom[:, 0] >= dp.mattress_x[0])
+                       & (p_geom[:, 0] <= dp.mattress_x[1])
+                       & (p_geom[:, 1] >= dp.mattress_y[0])
+                       & (p_geom[:, 1] <= dp.mattress_y[1]))
+        floor_z_g = jnp.where(on_mattress, dp.floor_z, dp.hard_floor_z)
+    else:
+        on_mattress = None
+        floor_z_g = dp.floor_z
+    phi = p_geom[:, 2] - sys.geom_radius - floor_z_g       # signed gap per geom
     active = phi < 0.0
 
-    mu, mu_spin, e, k, d = _combined_params(sys, dp, cfg)
+    mu, mu_spin, e, k, d = _combined_params(sys, dp, cfg, on_mattress)
     denom = dt * k + d
     cfm = 1.0 / jnp.maximum(denom, 1e-9)
     erp = dt * k / jnp.maximum(denom, 1e-9)
