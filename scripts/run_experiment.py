@@ -72,7 +72,18 @@ def scaled_ensemble_iters(cfg: TrainConfig, save_interval: int) -> list[int]:
 
 def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         overrides_id: dict | None = None, overrides_refine: dict | None = None,
-        id_env_extra_kwargs: dict | None = None, collect_det: bool = False):
+        id_env_extra_kwargs: dict | None = None, collect_det: bool = False,
+        lanes: int = 128, steps: int = 125, solver: str = "pgs"):
+    """lanes/steps/solver: rollout shape and contact solver for the identify
+    and refine stages.  lanes*steps is held at the reference's 16k
+    steps-per-update (same PPO batch, same update count); the round-2 shape
+    (16, 1000) was latency-bound -- scripts/profile_identify.py measured
+    8.7x per-update speedup for pgs@(128,125) on laikago (9.61s -> 1.10s)
+    with byte-identical physics.  The 'staged' solver is faster still
+    (0.20s) but does NOT converge under the pi_dyn-randomized contact
+    distribution (one-step qd err ~0.2 even at 80 sweeps vs pgs@5's 0.035;
+    scripts/solver_fidelity_diag.py, tests/test_staged_training_parity.py),
+    so it stays an experimental option."""
     exp = EXPERIMENTS[name]
     robot = _robot(exp["common"]["env_name"])
     behavior_dir = BEHAVIOR[exp["behavior_env"]]
@@ -90,9 +101,11 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         for k in ("original_mean", "original_median", "original_success"):
             results.setdefault(k, base.get(k))
 
+    assert lanes * steps == 16000, (lanes, steps)
     save_interval = 10 if robot == "Hopper" else 25
     id_cfg = TrainConfig(**{**exp["common"],
-                            "num_processes": 16,
+                            "num_processes": lanes,
+                            "num_steps": steps,
                             "gail_traj_path": traj_path,
                             "save_dir": gdyn_dir,
                             "log_interval": 25,
@@ -102,7 +115,8 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
                             "gail_a_idx": ",".join(map(str, a_idx)),
                             **(overrides_id or {})})
     refine_cfg = TrainConfig(**{**exp["refine"],
-                                "num_processes": 16,
+                                "num_processes": lanes,
+                                "num_steps": steps,
                                 "save_dir": refine_dir,
                                 "warm_start": os.path.join(
                                     behavior_dir, exp["behavior_env"]),
@@ -155,7 +169,7 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         t0 = time.time()
         model, params = checkpoints.load_policy(behavior_dir, exp["behavior_env"])
         env_extra = {"behavior_model": model, "behavior_params": params}
-        id_kwargs = dict(ID_ENV_KWARGS)
+        id_kwargs = dict(ID_ENV_KWARGS, solver=solver)
         id_kwargs.update(id_env_extra_kwargs or {})
         train_simgan.train(id_cfg, id_kwargs, env_extra)
         _mark("identify", t0)
@@ -167,7 +181,8 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         model, stacked = checkpoints.load_ensemble(
             os.path.join(gdyn_dir, "ppo"), id_cfg.env_name, iters)
         env_extra = {"dyn_model": model, "dyn_ensemble_params": stacked}
-        train_behavior.train(refine_cfg, dict(REFINE_ENV_KWARGS), env_extra)
+        train_behavior.train(refine_cfg, dict(REFINE_ENV_KWARGS, solver=solver),
+                             env_extra)
         _mark("refine", t0, ensemble_iters=iters)
 
     if "test" in stages:
@@ -197,11 +212,15 @@ def main(argv=None):
     p.add_argument("--collect-det", type=int, default=0,
                    help="collect expert data deterministically with env "
                         "act/obs noise, like the reference (--non-det 0)")
+    p.add_argument("--lanes", type=int, default=128)
+    p.add_argument("--steps", type=int, default=125)
+    p.add_argument("--solver", default="pgs", choices=["pgs", "staged"])
     args = p.parse_args(argv)
     run(args.experiment, args.stages.split(","), tag=args.tag,
         s_idx=tuple(int(x) for x in args.s_idx.split(",")),
         a_idx=tuple(int(x) for x in args.a_idx.split(",")),
-        collect_det=bool(args.collect_det))
+        collect_det=bool(args.collect_det),
+        lanes=args.lanes, steps=args.steps, solver=args.solver)
 
 
 if __name__ == "__main__":

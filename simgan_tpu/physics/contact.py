@@ -64,7 +64,12 @@ class ContactConfig(NamedTuple):
     # wins when the rollout is LATENCY-bound (small env batches: 20 serial
     # matvecs/substep vs laikago's 400 serial row updates), loses when
     # bandwidth-bound (large batches re-read the full (R,R) Delassus matrix
-    # every sweep).
+    # every sweep).  CAVEAT (measured, scripts/solver_fidelity_diag.py): on
+    # the pi_dyn-randomized contact distribution (restitution ~1+, friction
+    # 0-5, damping 20-2000) the stage iteration STALLS — one-step qd error
+    # vs cold pgs@100 stays ~0.2 from 5 through 80 sweeps while pgs@5+warm
+    # sits at 0.035 — so 'staged' is experimental, not a production solver
+    # (tests/test_staged_training_parity.py pins this).
     solver: str = "pgs"
     # Thread each substep's impulse solution into the next substep's solve
     # (control_step scan).  Bullet warm-starts its sequential-impulse solver
