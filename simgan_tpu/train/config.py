@@ -28,6 +28,11 @@ class TrainConfig:
     seed: int = 1
     num_processes: int = 16
     num_steps: int = 5
+    # data-parallel device count (TPU-native analog of the reference's 8
+    # env worker processes, SURVEY §2.5): >1 shards the env batch over a
+    # 1-D jax.sharding.Mesh (parallel/dp.py), params/optimizer replicated,
+    # gradient all-reduce over ICI.  num_processes must divide evenly.
+    num_devices: int = 1
     ppo_epoch: int = 10
     num_mini_batch: int = 32
     clip_param: float = 0.2

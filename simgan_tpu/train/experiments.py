@@ -143,11 +143,19 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("experiment", choices=sorted(EXPERIMENTS))
     p.add_argument("--stage", choices=["identify", "refine", "both"], default="both")
+    p.add_argument("--num-devices", type=int, default=1,
+                   help="data-parallel device count (env batch sharded over "
+                        "a 1-D mesh, parallel/dp.py)")
+    p.add_argument("--num-env-steps", type=int, default=None,
+                   help="override the experiment's training budget")
     args = p.parse_args(argv)
+    overrides: dict = {"num_devices": args.num_devices}
+    if args.num_env_steps is not None:
+        overrides["num_env_steps"] = args.num_env_steps
     if args.stage in ("identify", "both"):
-        identify(args.experiment)
+        identify(args.experiment, overrides)
     if args.stage in ("refine", "both"):
-        refine(args.experiment)
+        refine(args.experiment, overrides)
 
 
 if __name__ == "__main__":

@@ -116,6 +116,25 @@ def build_batch(t: Transition, returns: jnp.ndarray, dup_sym: bool, mirror=None)
                  returns=rets, old_log_probs=logp, advantages=adv)
 
 
+def jit_update_fn(cfg: TrainConfig, update_fn, train_state):
+    """Jit the update for single-device execution, or — with
+    ``--num-devices N`` — for SPMD data parallelism over an N-device mesh:
+    env batch sharded on the 'dp' axis, params/optimizer replicated,
+    XLA-inserted gradient all-reduce over ICI (parallel/dp.py).  Returns
+    the jitted fn and the (possibly mesh-placed) train state."""
+    if cfg.num_devices <= 1:
+        return jax.jit(update_fn), train_state
+    from simgan_tpu.parallel.dp import jit_dp, shard_train_state
+    from simgan_tpu.parallel.mesh import make_mesh
+
+    assert cfg.num_processes % cfg.num_devices == 0, (
+        cfg.num_processes, cfg.num_devices)
+    assert len(jax.devices()) >= cfg.num_devices, (
+        len(jax.devices()), cfg.num_devices)
+    mesh = make_mesh(cfg.num_devices)
+    return jit_dp(update_fn, mesh), shard_train_state(mesh, train_state)
+
+
 class BehaviorTrainState(NamedTuple):
     params: Any
     opt_state: Any
@@ -242,6 +261,7 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
         states, obs = venv.reset(k_env)
         carry = RolloutCarry(states, obs, key,
                              RewardNorm.create(cfg.num_processes, cfg.gamma))
+        assert cfg.num_devices <= 1, "recurrent policy is single-device only"
         train_state = RecurrentTrainState(
             params, opt_state, carry,
             recurrent.zero_hidden(cfg.num_processes, cfg.hidden_size),
@@ -280,7 +300,8 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
                          RewardNorm.create(cfg.num_processes, cfg.gamma))
     train_state = BehaviorTrainState(params, opt_state, carry)
 
-    update_fn = jax.jit(make_update_fn(venv, model, tx, cfg, mirror))
+    update_fn, train_state = jit_update_fn(
+        cfg, make_update_fn(venv, model, tx, cfg, mirror), train_state)
     return _train_loop(cfg, logger, model, update_fn, train_state, key, save_path)
 
 

@@ -185,8 +185,10 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
     train_state = SimGanState(params, opt_state, disc_state,
                               RunningMeanStd.create(), carry)
 
-    update_fn = jax.jit(make_update_fn(
-        venv, model, tx, disc_model, disc_tx, expert_feats, gail_tar_length, cfg))
+    from simgan_tpu.train.train_behavior import jit_update_fn
+    update_fn, train_state = jit_update_fn(
+        cfg, make_update_fn(venv, model, tx, disc_model, disc_tx, expert_feats,
+                            gail_tar_length, cfg), train_state)
 
     from simgan_tpu.utils.monitor import MonitorWriter
 

