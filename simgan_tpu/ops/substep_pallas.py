@@ -19,26 +19,41 @@ Use ``pallas_control_step`` as a drop-in for
 ``jax.vmap(control_step)`` on batched states; set ``interpret=True`` to run
 on CPU for tests.
 
-Mosaic status (re-checked 2026-08-17, jax 0.9 / v5e via the axon remote
-compile tunnel): still blocked.  Repro: pair-free hopper System, B=256,
-tile=256, interpret=False → the Mosaic MLIR (≈387 KB) is generated
-client-side but the remote `tpu_compile_helper` subprocess exits 1 and the
-HTTP 500 swallows the Mosaic diagnostic (earlier direct runs showed a
-`tpu.concatenate` layout limitation: three vector<512x1> → 512x3).  Also
-note the kernel predates capsule-pair rows — the in-kernel unrolled PGS
-asserts floor-contacts-only, so hopper must be built without `pair_*`
-fields to reach the lowering at all.  The XLA path (964k hopper / 157k
-laikago hybrid steps/s/chip) already exceeds the north star, so this
-kernel remains an interpret-mode-tested experiment, not a production path.
+Mosaic status (round 3, jax 0.9 / v5e via the axon remote compile tunnel):
+the blocker was `tpu.concatenate` of same-array column slices carrying
+different lane/sublane offsets — Mosaic reports "Not implemented:
+result/input offset mismatch on non-concat dimension" for e.g. three
+vector<256x1xf32> with in_layouts offsets {0,0}/{0,1}/{1,2} → 256x3
+(isolated stacks of freshly-computed vectors lower fine; the relayout rule
+for offset-carrying inputs is what is missing).  Worked around by
+intercepting `lax.concatenate_p.bind` while tracing the kernel body and
+rewriting every concat whose pieces have extent 1 along the concat axis
+(i.e. every `jnp.stack`, which is all the physics' hot concats) into an
+accumulated broadcast-multiply with one-hot rows — no tpu.concatenate is
+emitted, layouts normalize through the multiply.  Note the in-kernel
+unrolled PGS still asserts floor-contacts-only, so systems must be built
+without `pair_*` fields (see scripts/pallas_probe.py: pair-free hopper).
+
+With the rewrite, client-side Mosaic MLIR generation now SUCCEEDS (probe:
+"LOWERED ok", previously it died in layout inference) — but the remote
+`tpu_compile_helper` then burns >20 min without returning even for a
+minimal B=128/tile=128/skip=1/iters=1 kernel (the monolithic unrolled
+substep is ~10^5 MLIR ops after the one-hot expansion; compile wall-clock,
+not another lowering error, is the remaining blocker).  Status: kernel is
+interpret-mode exact (slow-gated test) and now lowers; it stays
+experimental until a bounded Mosaic compile lands.  Repro:
+`PYTHONPATH=/root/repo:/root/.axon_site python scripts/pallas_probe.py 128 128 1 1`.
 """
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Any
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -49,6 +64,43 @@ from simgan_tpu.physics.engine import PhysicsConfig, substep
 def _flatten_dp(dp: DomainParams):
     leaves, treedef = jax.tree.flatten(dp)
     return leaves, treedef
+
+
+@contextlib.contextmanager
+def stacks_as_onehot_sums():
+    """Trace-time rewrite of `jnp.stack`-style concatenates (all pieces have
+    extent 1 along the concat axis) into accumulated one-hot broadcast
+    multiplies.  Mosaic (jax 0.9) cannot relayout tpu.concatenate inputs
+    whose vector layouts carry different lane/sublane offsets ("result/input
+    offset mismatch on non-concat dimension"); the multiply path normalizes
+    layouts instead.  Concats with wider pieces fall through to the real
+    primitive (none are on the physics hot path)."""
+    orig_bind = lax.concatenate_p.bind
+
+    def bind(*ops, **params):
+        dim = params["dimension"]
+        if (len(ops) > 1 and all(getattr(o, "ndim", 0) >= 1
+                                 and o.shape[dim] == 1 for o in ops)):
+            k = len(ops)
+            out = None
+            for i, o in enumerate(ops):
+                # one-hot from iota+compare, NOT an array constant: consts
+                # materialized here would land inside nested pjit sub-jaxprs
+                # (e.g. jnp.cross's jitted body), which Mosaic rejects
+                # ("assert not jaxpr.constvars").
+                hot = (jnp.arange(k) == i).astype(o.dtype).reshape(
+                    (k,) + (1,) * (o.ndim - 1 - dim))
+                term = o * hot        # broadcasts the size-1 concat axis to k
+                out = term if out is None else out + term
+            return out
+        return orig_bind(*ops, **params)
+
+    # instance attribute shadows the class method for concatenate_p only
+    lax.concatenate_p.bind = bind
+    try:
+        yield
+    finally:
+        del lax.concatenate_p.bind
 
 
 def pallas_control_step(
@@ -101,8 +153,15 @@ def pallas_control_step(
     )
     # Hoist every jaxpr constant (incl. literal arrays created inside the
     # physics) into explicit kernel inputs: trace once, then eval the jaxpr
-    # with consts passed as arguments.
-    closed_jaxpr = jax.make_jaxpr(raw_step)(*tile_examples)
+    # with consts passed as arguments.  Stacks are rewritten to one-hot sums
+    # at trace time (Mosaic tpu.concatenate layout limitation, see module
+    # docstring) — skipped in interpret mode to keep the CPU equivalence test
+    # exercising the untransformed graph too.
+    if interpret:
+        closed_jaxpr = jax.make_jaxpr(raw_step)(*tile_examples)
+    else:
+        with stacks_as_onehot_sums():
+            closed_jaxpr = jax.make_jaxpr(raw_step)(*tile_examples)
     consts = [jnp.asarray(c) for c in closed_jaxpr.consts]
 
     def closed(*vals):
