@@ -79,11 +79,13 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
     steps-per-update (same PPO batch, same update count); the round-2 shape
     (16, 1000) was latency-bound -- scripts/profile_identify.py measured
     8.7x per-update speedup for pgs@(128,125) on laikago (9.61s -> 1.10s)
-    with byte-identical physics.  The 'staged' solver is faster still
-    (0.20s) but does NOT converge under the pi_dyn-randomized contact
-    distribution (one-step qd err ~0.2 even at 80 sweeps vs pgs@5's 0.035;
-    scripts/solver_fidelity_diag.py, tests/test_staged_training_parity.py),
-    so it stays an experimental option."""
+    with byte-identical physics.  The 'staged' solver is 5.4x faster still
+    (0.20s/update) and — on the TRUE pi_dyn damping range exp([1,3])*2 =
+    [5.44, 40.2] (the reference code's range; its "20~2000" comment is
+    wrong) — matches pgs at equal sweep count (staged@5 == pgs@5, one-step
+    qd err mean 1.2e-3; scripts/solver_fidelity_diag.py,
+    tests/test_staged_training_parity.py).  The earlier "staged stalls"
+    verdict was measured on the comment's unreachable range."""
     exp = EXPERIMENTS[name]
     robot = _robot(exp["common"]["env_name"])
     behavior_dir = BEHAVIOR[exp["behavior_env"]]

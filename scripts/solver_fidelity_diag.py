@@ -63,7 +63,15 @@ def dyn_policy_params(sys, rng):
     lat[:4] = rng.uniform(0.0, 5.0, 4)
     spin[:4] = rng.uniform(0.0, 5.0, 4)
     resti[:4] = rng.uniform(0.0, 2.0, 4)
-    damp[:4] = np.exp(rng.uniform(np.log(20.0), np.log(2000.0), 4))
+    # pi_dyn-reachable damping is exp(U[1,3])*2 = [5.44, 40.2] — the
+    # reference's code (laikago_env_combined_policy.py:374-375: np.exp of a
+    # [1,3] squash, times 2), NOT the "20 ~ 2000" its comment claims.
+    # SIMGAN_DIAG_WIDE_DAMP=1 restores the round-3 first-pass (wrong) range.
+    import os
+    if os.environ.get("SIMGAN_DIAG_WIDE_DAMP"):
+        damp[:4] = np.exp(rng.uniform(np.log(20.0), np.log(2000.0), 4))
+    else:
+        damp[:4] = np.exp(rng.uniform(1.0, 3.0, 4)) * 2.0
     return dp.replace(
         lateral_friction=jnp.asarray(lat), spinning_friction=jnp.asarray(spin),
         restitution=jnp.asarray(resti), contact_damping=jnp.asarray(damp),

@@ -5,3 +5,23 @@ scaling; see README.md for the architecture map against the reference.
 """
 
 __version__ = "0.1.0"
+
+import os as _os
+
+import jax as _jax
+
+# Persistent XLA compilation cache: identify/refine compiles at the
+# production rollout shapes take 10-20 min against the remote TPU compile
+# server; experiments re-run the SAME shapes (all laikago variants share
+# one identify/refine HLO), so caching them turns every run after the
+# first into a seconds-level warmup.  Opt out with SIMGAN_NO_JAX_CACHE=1.
+if not _os.environ.get("SIMGAN_NO_JAX_CACHE"):
+    _cache = _os.environ.get(
+        "SIMGAN_JAX_CACHE",
+        _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
+                      ".jax_cache"))
+    try:
+        _jax.config.update("jax_compilation_cache_dir", _cache)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:  # older jax without the knobs: cache is best-effort
+        pass

@@ -42,7 +42,9 @@ def contact_coeff_and_battery(env_action: jax.Array, num_feet: int = 1):
 
     Returns (lateral (F,), spin (F,), restitution (F,), damping (F,),
     battery (3F,)).  Ranges: fric/spin 0-5, restitution 0-15, damping
-    20-2000 via exp((t+1)+1)*2, battery -0.5..1.5.
+    exp([1,3])*2 = 5.44-40.2 (the reference comment says "20 ~ 2000" but
+    its code is np.exp of a [1,3] squash times 2 — we match the code),
+    battery -0.5..1.5.
     """
     t = jnp.tanh(env_action)
     con = t[: 4 * num_feet].reshape(num_feet, 4)

@@ -6,8 +6,10 @@ ERP/CFM soft-contact mapping produces in the exact parameter regimes the
 reference trains in:
 
   * canonical hybrid-sim floor: contactStiffness k=1.0, contactDamping
-    d=1000-2000 (hopper_env_combined_policy.py:270-287 squashes log-damping
-    into [20, 2000]; the canonical floor sets foot k=1, d=1000 at :165-178);
+    d=1000-2000 (the canonical floor sets foot k=1, d=1000 at
+    hopper_env_combined_policy.py:165-178; pi_dyn then rewrites d within
+    exp([1,3])*2 = [5.44, 40.2] each step — :270-287's code, NOT the
+    "20 ~ 2000" its comment claims);
   * deformable mattress surrogate: spring stiffness/damping 1500/50 (hopper,
     hopper_env_v3.py:143-149) and 60000/150 (laikago, laikago_env_v4.py:
     177-183), modeled as a compliant half-space with ``combine='floor'``.

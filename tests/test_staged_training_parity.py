@@ -1,32 +1,40 @@
 """Contact-solver fidelity under the TRAINING distribution (VERDICT r2
 items 2+3c).
 
-Context (measured by scripts/solver_fidelity_diag.py, round 3):
+Context (measured by scripts/solver_fidelity_diag.py, round 3, corrected):
 
-* Trajectory-level parity with cold PGS@100 is NOT achievable over the
-  identification distribution (pi_dyn-randomized contact params: lateral/
-  spin 0-5, restitution 0-15, damping 20-2000,
-  laikago_env_combined_policy.py:365-386): with restitution near/above 1
-  the dynamics are chaotic and even the production warm-PGS@5 diverges to
-  O(1) trajectory error within 25 control steps (as would any two solvers
-  differing at 1e-6).  The meaningful metric is ONE-control-step error
-  from identical states, which isolates solver error from chaos:
+* The pi_dyn-reachable contact-damping range is exp(U[1,3])*2 = [5.44,
+  40.2] — the reference's *code* (laikago_env_combined_policy.py:374-375:
+  np.exp of a [1,3] tanh-squash, times 2), NOT the "20 ~ 2000" its inline
+  comment claims.  Round 3's first fidelity pass sampled the comment's
+  range by mistake; every conclusion drawn from it is superseded by the
+  corrected measurements below.
 
-      pgs@5+warm  1-step qd err  mean 3.5e-2   (production, all envs)
-      pgs@10+warm                mean 1.1e-2
-      staged@5..80+warm          mean 1.7e-1 .. 2.8e-1  (does NOT converge)
+* Under the TRUE training distribution (lateral/spin 0-5, restitution
+  0-2 active part, damping 5.44-40.2), warm-started PGS@5 — the
+  production solver — is accurate at BOTH metrics: one-control-step qd
+  error mean 1.2e-3, and 25-control-step trajectory max-q error 1.5e-2
+  vs cold sequential PGS@100.  The round-3 first-pass "chaos makes
+  trajectory parity impossible" caveat was an artifact of the wrong
+  damping range (near-zero effective contact damping made bouncy draws
+  chaotic).
 
 * The 'staged' solver (all-normal-rows then all-friction-rows matvec
-  sweeps) converges on the benign target-env distribution it was validated
-  on in round 2, but STALLS on bouncy/high-friction pi_dyn draws — its
-  block iteration cycles between the normal and friction stages.  It is
-  therefore NOT used by the experiment pipeline (scripts/run_experiment.py
-  defaults to pgs); the identification wall-clock fix is the rollout shape
-  (128 lanes x 125 steps), which keeps the physics byte-identical.
+  sweeps, built for the TPU latency-bound regime) matches pgs at equal
+  sweep count on the true distribution (staged@5 == pgs@5 to 3 digits;
+  staged@40 reaches 2.3e-6 traj error).  Its earlier "stalls at any
+  sweep count" verdict was measured on the wrong [20, 2000] damping
+  range — where it genuinely does stall (one-step qd err ~0.2 at 80
+  sweeps) — a regime pi_dyn cannot reach.
 
-This test pins both facts so they cannot silently regress: the production
-solver's one-step error stays bounded, and it stays several times more
-accurate than staged at equal sweep count.
+  (The wide-range stall is real but state-dependent — at some gait
+  states staged@80 converges even on damping [20, 2000] — so it is
+  recorded in RESULTS.md rather than pinned here; staged should be
+  re-validated before any use outside the pi_dyn coefficient ranges.)
+
+This test pins two facts so they cannot silently regress: production
+pgs@5 stays accurate on the training distribution, and staged@5 stays
+equivalent to pgs@5 there.
 """
 
 import os
@@ -69,7 +77,8 @@ def _gait_state(sys, n_ctrl=40, seed=0):
 
 def _dyn_policy_params(sys, rng):
     """DomainParams draw from the pi_dyn output ranges (toe geoms get the
-    written coefficients, laikago_env_combined_policy.py:365-386)."""
+    written coefficients, laikago_env_combined_policy.py:365-386; damping
+    is the code's exp([1,3])*2 range, not the comment's "20 ~ 2000")."""
     G = sys.n_geoms
     dp = DomainParams.default(sys).replace(max_forces=jnp.asarray(MAX_FORCES))
     lat = np.ones(G) * 0.5
@@ -79,7 +88,7 @@ def _dyn_policy_params(sys, rng):
     lat[:4] = rng.uniform(0.0, 5.0, 4)
     spin[:4] = rng.uniform(0.0, 5.0, 4)
     resti[:4] = rng.uniform(0.0, 2.0, 4)   # physically active part of 0-15
-    damp[:4] = np.exp(rng.uniform(np.log(20.0), np.log(2000.0), 4))
+    damp[:4] = np.exp(rng.uniform(1.0, 3.0, 4)) * 2.0
     return dp.replace(
         lateral_friction=jnp.asarray(lat), spinning_friction=jnp.asarray(spin),
         restitution=jnp.asarray(resti), contact_damping=jnp.asarray(damp),
@@ -106,17 +115,21 @@ def _one_step_fn(sys, solver, warm):
     return f
 
 
-@slow
-def test_production_pgs5_one_step_error_bounded_and_beats_staged():
-    sys = make_laikago()
-    q0, qd0 = _gait_state(sys)
-    rng = np.random.RandomState(11)
-    B = 16
+def _draws(sys, rng, B):
     dps = jax.tree.map(lambda *xs: jnp.stack(xs),
                        *[_dyn_policy_params(sys, rng) for _ in range(B)])
     taus = jnp.asarray(
         rng.uniform(-0.3, 0.3, (B, 12)).astype(np.float32)
         * np.asarray(MAX_FORCES))
+    return dps, taus
+
+
+@slow
+def test_pgs5_and_staged5_accurate_on_training_distribution():
+    sys = make_laikago()
+    q0, qd0 = _gait_state(sys)
+    rng = np.random.RandomState(11)
+    dps, taus = _draws(sys, rng, B=16)
     q0 = jnp.asarray(q0)
     qd0 = jnp.asarray(qd0)
 
@@ -127,7 +140,9 @@ def test_production_pgs5_one_step_error_bounded_and_beats_staged():
     err_pgs = float(jnp.abs(got_pgs - ref).mean())
     err_staged = float(jnp.abs(got_staged - ref).mean())
     # production fidelity: warm pgs@5 close to cold pgs@100 in one step
-    assert err_pgs < 0.08, err_pgs
-    # staged stalls on this distribution; it must never silently become
-    # competitive-looking via a solver change that actually breaks pgs
-    assert err_pgs < err_staged / 2.0, (err_pgs, err_staged)
+    # (diag measured mean 1.2e-3 on the true pi_dyn damping range)
+    assert err_pgs < 0.02, err_pgs
+    # staged is equivalent at equal sweep count on this distribution
+    assert err_staged < 2.0 * err_pgs + 1e-3, (err_pgs, err_staged)
+
+
