@@ -48,6 +48,8 @@ def make(env_id: str, **kwargs) -> Any:
             f = next(f for f in dataclasses.fields(cfg_cls) if f.name == k_norm)
             if f.type in ("bool", bool):
                 v = bool(v)
+            elif f.type in ("int", int):
+                v = int(v)
             cfg_kwargs[k_norm] = v
         elif k_norm in _IGNORED_KEYS:
             continue

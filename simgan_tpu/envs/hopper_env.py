@@ -50,6 +50,11 @@ class HopperConfig:
     randomization_train_addi: bool = False
     acc_pen_weight: float = 0.05
     max_episode_steps: int = base.MAX_EPISODE_STEPS
+    # contact-solver knobs (reference analog: numSolverIterations=100,
+    # hopper_env_v3.py:118; production default warm-PGS@5 is parity-tested)
+    solver: str = "pgs"
+    solver_iterations: int = 5
+    solver_warm_start: bool = True
 
 
 @struct.dataclass
@@ -79,7 +84,9 @@ class HopperEnv:
         self.phys_cfg = PhysicsConfig(
             base_pos=hopper_model.BASE_INIT_POS,
             contact=ContactConfig(combine="floor" if config.deform_floor_env else "bullet",
-                                  iterations=5),  # warm-started (test_contact_solvers)
+                                  solver=config.solver,
+                                  iterations=config.solver_iterations,
+                                  warm_start=config.solver_warm_start),
         )
 
     # -- domain parameter setup (reset-time changeDynamics calls) ----------

@@ -65,6 +65,12 @@ class LaikagoConfig:
     sysid_data_collection: bool = False
     final_test: bool = False
     max_episode_steps: int = base.MAX_EPISODE_STEPS
+    # contact-solver knobs (reference analog: numSolverIterations=100,
+    # laikago_env_v4.py:159; production default warm-PGS@5 is parity-tested
+    # in test_contact_solvers / test_staged_training_parity)
+    solver: str = "pgs"
+    solver_iterations: int = 5
+    solver_warm_start: bool = True
 
 
 @struct.dataclass
@@ -104,7 +110,9 @@ class LaikagoEnv:
         self.sys = laika_model.make_laikago(heavy_leg=config.heavy_leg_env)
         self.phys_cfg = PhysicsConfig(
             contact=ContactConfig(combine="floor" if config.deform_floor_env else "bullet",
-                                  iterations=5),  # warm-started (test_contact_solvers)
+                                  solver=config.solver,
+                                  iterations=config.solver_iterations,
+                                  warm_start=config.solver_warm_start),
         )
 
     # -- domain parameters (reset-time changeDynamics) ----------------------
