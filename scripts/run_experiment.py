@@ -73,7 +73,8 @@ def scaled_ensemble_iters(cfg: TrainConfig, save_interval: int) -> list[int]:
 def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         overrides_id: dict | None = None, overrides_refine: dict | None = None,
         id_env_extra_kwargs: dict | None = None, collect_det: bool = False,
-        lanes: int = 128, steps: int = 125, solver: str = "pgs"):
+        lanes: int = 128, steps: int = 125, solver: str = "pgs",
+        traj_suffix: str = ""):
     """lanes/steps/solver: rollout shape and contact solver for the identify
     and refine stages.  lanes*steps is held at the reference's 16k
     steps-per-update (same PPO batch, same update count); the round-2 shape
@@ -91,7 +92,7 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
     behavior_dir = BEHAVIOR[exp["behavior_env"]]
     suffix = f"_{tag}" if tag else ""
 
-    traj_path = os.path.join(RUNS, f"{name}_n200.pkl")
+    traj_path = os.path.join(RUNS, f"{name}_n200{traj_suffix}.pkl")
     gdyn_dir = os.path.join(RUNS, f"gdyn_{name}{suffix}")
     refine_dir = os.path.join(RUNS, f"{name}_refined{suffix}")
     result_path = os.path.join(RUNS, f"{name}{suffix}_result.json")
@@ -102,6 +103,11 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         base = json.load(open(base_result))
         for k in ("original_mean", "original_median", "original_success"):
             results.setdefault(k, base.get(k))
+    # provenance: record the identification recipe alongside the numbers
+    results["config"] = dict(
+        stages=stages, s_idx=list(s_idx), a_idx=list(a_idx),
+        collect_det=collect_det, lanes=lanes, steps=steps, solver=solver,
+        traj_path=os.path.basename(traj_path))
 
     assert lanes * steps == 16000, (lanes, steps)
     save_interval = 10 if robot == "Hopper" else 25
@@ -217,12 +223,17 @@ def main(argv=None):
     p.add_argument("--lanes", type=int, default=128)
     p.add_argument("--steps", type=int, default=125)
     p.add_argument("--solver", default="pgs", choices=["pgs", "staged"])
+    p.add_argument("--traj-suffix", default="",
+                   help="suffix for the expert-traj pickle (e.g. _det), so "
+                        "alternate collect recipes don't overwrite the base "
+                        "runs/<name>_n200.pkl")
     args = p.parse_args(argv)
     run(args.experiment, args.stages.split(","), tag=args.tag,
         s_idx=tuple(int(x) for x in args.s_idx.split(",")),
         a_idx=tuple(int(x) for x in args.a_idx.split(",")),
         collect_det=bool(args.collect_det),
-        lanes=args.lanes, steps=args.steps, solver=args.solver)
+        lanes=args.lanes, steps=args.steps, solver=args.solver,
+        traj_suffix=args.traj_suffix)
 
 
 if __name__ == "__main__":
