@@ -74,7 +74,7 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         overrides_id: dict | None = None, overrides_refine: dict | None = None,
         id_env_extra_kwargs: dict | None = None, collect_det: bool = False,
         lanes: int = 128, steps: int = 125, solver: str = "pgs",
-        traj_suffix: str = ""):
+        traj_suffix: str = "", seed_offset: int = 0):
     """lanes/steps/solver: rollout shape and contact solver for the identify
     and refine stages.  lanes*steps is held at the reference's 16k
     steps-per-update (same PPO batch, same update count); the round-2 shape
@@ -107,7 +107,7 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
     results["config"] = dict(
         stages=stages, s_idx=list(s_idx), a_idx=list(a_idx),
         collect_det=collect_det, lanes=lanes, steps=steps, solver=solver,
-        traj_path=os.path.basename(traj_path))
+        traj_path=os.path.basename(traj_path), seed_offset=seed_offset)
 
     assert lanes * steps == 16000, (lanes, steps)
     save_interval = 10 if robot == "Hopper" else 25
@@ -118,7 +118,7 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
                             "save_dir": gdyn_dir,
                             "log_interval": 25,
                             "save_interval": save_interval,
-                            "seed": exp["seed"],
+                            "seed": exp["seed"] + seed_offset,
                             "gail_s_idx": ",".join(map(str, s_idx)),
                             "gail_a_idx": ",".join(map(str, a_idx)),
                             **(overrides_id or {})})
@@ -130,7 +130,7 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
                                     behavior_dir, exp["behavior_env"]),
                                 "log_interval": 25,
                                 "save_interval": 25,
-                                "seed": exp["seed"] + 7,
+                                "seed": exp["seed"] + 7 + seed_offset,
                                 **(overrides_refine or {})})
     target_kwargs = dict(exp["collect_env_kwargs"])
 
@@ -227,13 +227,16 @@ def main(argv=None):
                    help="suffix for the expert-traj pickle (e.g. _det), so "
                         "alternate collect recipes don't overwrite the base "
                         "runs/<name>_n200.pkl")
+    p.add_argument("--seed-offset", type=int, default=0,
+                   help="added to the experiment's identify/refine seeds "
+                        "(seed-variance runs)")
     args = p.parse_args(argv)
     run(args.experiment, args.stages.split(","), tag=args.tag,
         s_idx=tuple(int(x) for x in args.s_idx.split(",")),
         a_idx=tuple(int(x) for x in args.a_idx.split(",")),
         collect_det=bool(args.collect_det),
         lanes=args.lanes, steps=args.steps, solver=args.solver,
-        traj_suffix=args.traj_suffix)
+        traj_suffix=args.traj_suffix, seed_offset=args.seed_offset)
 
 
 if __name__ == "__main__":

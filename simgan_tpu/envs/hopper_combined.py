@@ -69,6 +69,8 @@ class HopperCombinedConfig:
     behavior_logstd: float | None = None
     max_episode_steps: int = base.MAX_EPISODE_STEPS
     solver: str = "pgs"           # contact solver: 'pgs' | 'staged'
+    solver_iterations: int = 5    # PGS sweeps (Bullet numSolverIterations analog)
+    solver_warm_start: bool = True
 
 
 @struct.dataclass
@@ -106,7 +108,9 @@ class HopperCombinedEnv:
 
         self.phys_cfg = PhysicsConfig(
             base_pos=hopper_model.BASE_INIT_POS,
-            contact=ContactConfig(solver=config.solver, iterations=5))
+            contact=ContactConfig(
+                solver=config.solver, iterations=config.solver_iterations,
+                warm_start=config.solver_warm_start))
 
         if config.train_dyn:
             assert behavior_model is not None and behavior_params is not None

@@ -53,6 +53,8 @@ class LaikagoCombinedConfig:
     task_y: bool = False
     max_episode_steps: int = base.MAX_EPISODE_STEPS
     solver: str = "pgs"           # contact solver: 'pgs' | 'staged'
+    solver_iterations: int = 5    # PGS sweeps (Bullet numSolverIterations analog)
+    solver_warm_start: bool = True
 
 
 @struct.dataclass
@@ -83,8 +85,9 @@ class LaikagoCombinedEnv:
         self.sys = laika_model.make_laikago(heavy_leg=False)
         from simgan_tpu.physics.contact import ContactConfig
 
-        self.phys_cfg = PhysicsConfig(contact=ContactConfig(solver=config.solver,
-                                                            iterations=5))
+        self.phys_cfg = PhysicsConfig(contact=ContactConfig(
+            solver=config.solver, iterations=config.solver_iterations,
+            warm_start=config.solver_warm_start))
         self._inner = LaikagoEnv.__new__(LaikagoEnv)  # reuse obs builders
         self._inner.cfg = LaikagoConfig()
         self._inner.sys = self.sys

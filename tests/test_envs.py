@@ -188,3 +188,28 @@ def test_mirror_preserves_height_and_negates_y():
         base = f * 37
         assert abs(float(m[base] - obs[base])) < 1e-6           # root z
         assert abs(float(m[base + 11] + obs[base + 11])) < 1e-5  # lin vel y negated
+
+
+def test_combined_solver_knobs_plumb_to_contact_config():
+    """solver_iterations/solver_warm_start on the combined configs reach the
+    ContactConfig (construction only, no compile)."""
+    from simgan_tpu.envs.hopper_combined import (HopperCombinedConfig,
+                                                 HopperCombinedEnv)
+    from simgan_tpu.envs.laikago_combined import (LaikagoCombinedConfig,
+                                                  LaikagoCombinedEnv)
+    from simgan_tpu.agents.networks import MLPPolicy
+
+    beh = MLPPolicy(action_dim=12, hidden=8)
+    bp = beh.init(jax.random.PRNGKey(0), jnp.zeros((1, 111)))
+    env = LaikagoCombinedEnv(
+        LaikagoCombinedConfig(solver_iterations=17, solver_warm_start=False),
+        behavior_model=beh, behavior_params=bp)
+    assert env.phys_cfg.contact.iterations == 17
+    assert env.phys_cfg.contact.warm_start is False
+
+    beh_h = MLPPolicy(action_dim=3, hidden=8)
+    bph = beh_h.init(jax.random.PRNGKey(0), jnp.zeros((1, 11)))
+    env_h = HopperCombinedEnv(
+        HopperCombinedConfig(solver_iterations=3),
+        behavior_model=beh_h, behavior_params=bph)
+    assert env_h.phys_cfg.contact.iterations == 3
