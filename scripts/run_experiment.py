@@ -74,7 +74,8 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         overrides_id: dict | None = None, overrides_refine: dict | None = None,
         id_env_extra_kwargs: dict | None = None, collect_det: bool = False,
         lanes: int = 128, steps: int = 125, solver: str = "pgs",
-        traj_suffix: str = "", seed_offset: int = 0):
+        traj_suffix: str = "", seed_offset: int = 0,
+        gdyn_tag: str = "", refine_steps: int | None = None):
     """lanes/steps/solver: rollout shape and contact solver for the identify
     and refine stages.  lanes*steps is held at the reference's 16k
     steps-per-update (same PPO batch, same update count); the round-2 shape
@@ -93,7 +94,10 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
     suffix = f"_{tag}" if tag else ""
 
     traj_path = os.path.join(RUNS, f"{name}_n200{traj_suffix}.pkl")
-    gdyn_dir = os.path.join(RUNS, f"gdyn_{name}{suffix}")
+    # --gdyn-tag: reuse another tag's identify ensemble (refine-only ablations
+    # don't need to re-run the 8M-step identification)
+    gdyn_suffix = f"_{gdyn_tag}" if gdyn_tag else suffix
+    gdyn_dir = os.path.join(RUNS, f"gdyn_{name}{gdyn_suffix}")
     refine_dir = os.path.join(RUNS, f"{name}_refined{suffix}")
     result_path = os.path.join(RUNS, f"{name}{suffix}_result.json")
     results = json.load(open(result_path)) if os.path.exists(result_path) else {}
@@ -107,7 +111,9 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
     results["config"] = dict(
         stages=stages, s_idx=list(s_idx), a_idx=list(a_idx),
         collect_det=collect_det, lanes=lanes, steps=steps, solver=solver,
-        traj_path=os.path.basename(traj_path), seed_offset=seed_offset)
+        traj_path=os.path.basename(traj_path), seed_offset=seed_offset,
+        gdyn_dir=os.path.basename(gdyn_dir),
+        refine_steps=refine_steps)
 
     assert lanes * steps == 16000, (lanes, steps)
     save_interval = 10 if robot == "Hopper" else 25
@@ -131,6 +137,8 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
                                 "log_interval": 25,
                                 "save_interval": 25,
                                 "seed": exp["seed"] + 7 + seed_offset,
+                                **({"num_env_steps": refine_steps}
+                                   if refine_steps else {}),
                                 **(overrides_refine or {})})
     target_kwargs = dict(exp["collect_env_kwargs"])
 
@@ -230,13 +238,21 @@ def main(argv=None):
     p.add_argument("--seed-offset", type=int, default=0,
                    help="added to the experiment's identify/refine seeds "
                         "(seed-variance runs)")
+    p.add_argument("--gdyn-tag", default="",
+                   help="reuse the identify ensemble from this tag's "
+                        "gdyn_<name>_<gdyn-tag> dir (refine-only ablations)")
+    p.add_argument("--refine-steps", type=int, default=None,
+                   help="override the refinement env-step budget (reference: "
+                        "2M hopper / 4M laikago); deviations are recorded in "
+                        "the result json config block")
     args = p.parse_args(argv)
     run(args.experiment, args.stages.split(","), tag=args.tag,
         s_idx=tuple(int(x) for x in args.s_idx.split(",")),
         a_idx=tuple(int(x) for x in args.a_idx.split(",")),
         collect_det=bool(args.collect_det),
         lanes=args.lanes, steps=args.steps, solver=args.solver,
-        traj_suffix=args.traj_suffix, seed_offset=args.seed_offset)
+        traj_suffix=args.traj_suffix, seed_offset=args.seed_offset,
+        gdyn_tag=args.gdyn_tag, refine_steps=args.refine_steps)
 
 
 if __name__ == "__main__":
