@@ -64,12 +64,19 @@ class ContactConfig(NamedTuple):
     # wins when the rollout is LATENCY-bound (small env batches: 20 serial
     # matvecs/substep vs laikago's 400 serial row updates), loses when
     # bandwidth-bound (large batches re-read the full (R,R) Delassus matrix
-    # every sweep).  CAVEAT (measured, scripts/solver_fidelity_diag.py): on
-    # the pi_dyn-randomized contact distribution (restitution ~1+, friction
-    # 0-5, damping 20-2000) the stage iteration STALLS — one-step qd error
-    # vs cold pgs@100 stays ~0.2 from 5 through 80 sweeps while pgs@5+warm
-    # sits at 0.035 — so 'staged' is experimental, not a production solver
-    # (tests/test_staged_training_parity.py pins this).
+    # every sweep).  On the TRUE pi_dyn contact distribution (damping
+    # exp([1,3])*2 = [5.44, 40.2] — the reference code's squash, not its
+    # "20~2000" comment) staged matches pgs at equal sweep count
+    # (scripts/solver_fidelity_diag.py, tests/test_staged_training_parity.py);
+    # the stage-iteration stall seen earlier only occurs on the unreachable
+    # wide-damping regime, so re-validate before any use outside the pi_dyn
+    # coefficient ranges.
+    # 'pgs_pallas': bit-of-math-identical PGS (same row order/projection),
+    # executed for BATCHED states as one Pallas kernel per batch tile with
+    # the Delassus matrix resident in VMEM across all sweeps — removes the
+    # iterations*R serial HBM-roundtrip ops of the rolled path (measured
+    # 58% of the laikago hybrid step at B=8192).  Unbatched calls fall back
+    # to the rolled loop (ops/pgs_pallas.py).
     solver: str = "pgs"
     # Thread each substep's impulse solution into the next substep's solve
     # (control_step scan).  Bullet warm-starts its sequential-impulse solver
@@ -297,32 +304,50 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg, lam0):
         return qd_free + smallmm.mv(dyn.m_inv, smallmm.mv(J.T, lam)), lam
 
     # Rolled variant: per-row metadata + fori_loop (compact compile graph).
-    row_type = jnp.tile(jnp.arange(4), G)                  # 0=n,1=t1,2=t2,3=spin
+    # Row structure is static per system — built in numpy so the Pallas
+    # solver can close over it as compile-time constants.
+    import numpy as _np
+
+    _rt = _np.tile(_np.arange(4), G)                       # 0=n,1=t1,2=t2,3=spin
+    _norm_np = 4 * (_np.arange(4 * G) // 4)
+    _isn_np = _rt == 0
+    if P:
+        _prt = _np.tile(_np.arange(3), P)                  # 0=n,1=t1,2=t2
+        _norm_np = _np.concatenate([_norm_np, 4 * G + 3 * _np.repeat(_np.arange(P), 3)])
+        _isn_np = _np.concatenate([_isn_np, _prt == 0])
+
+    row_type = jnp.tile(jnp.arange(4), G)
     row_geom = jnp.repeat(jnp.arange(G), 4)
     rhs = jnp.where(row_type == 0, rhs_n[row_geom], 0.0)   # (4G,)
     active_r = active[row_geom]
     mu_r = jnp.where(row_type == 3, mu_spin[row_geom], mu[row_geom])
     softness_r = jnp.repeat(softness, 4)
-    is_normal_r = row_type == 0
-    norm_idx = 4 * (jnp.arange(4 * G) // 4)
 
     if P:
-        pair_rt = jnp.tile(jnp.arange(3), P)               # 0=n,1=t1,2=t2
+        pair_rt = jnp.tile(jnp.arange(3), P)
         pair_row_p = jnp.repeat(jnp.arange(P), 3)
         rhs = jnp.concatenate([
             rhs, jnp.where(pair_rt == 0, jnp.stack(pair_pushout)[pair_row_p], 0.0)])
         active_r = jnp.concatenate([active_r, jnp.stack(pair_active)[pair_row_p]])
         mu_r = jnp.concatenate([mu_r, sys.pair_friction[pair_row_p]])
         softness_r = jnp.concatenate([softness_r, jnp.zeros(3 * P)])
-        is_normal_r = jnp.concatenate([is_normal_r, pair_rt == 0])
-        norm_idx = jnp.concatenate([norm_idx, 4 * G + 3 * pair_row_p])
+    is_normal_r = jnp.asarray(_isn_np)
+    norm_idx = jnp.asarray(_norm_np)
 
     a_diag = jnp.sum(A * jnp.eye(R), axis=-1)   # Mosaic-safe diagonal
     inv_diag = 1.0 / jnp.maximum(a_diag + softness_r, 1e-9)
 
-    if cfg.solver == "staged":
-        import numpy as _np
+    if cfg.solver == "pgs_pallas":
+        from simgan_tpu.ops.pgs_pallas import make_pgs_solver
 
+        solve = make_pgs_solver(R, cfg.iterations,
+                                tuple(bool(x) for x in _isn_np),
+                                tuple(int(x) for x in _norm_np))
+        lam = solve(A, v0, rhs, mu_r, softness_r,
+                    active_r.astype(jnp.float32), inv_diag, lam0)
+        return qd_free + smallmm.mv(dyn.m_inv, smallmm.mv(J.T, lam)), lam
+
+    if cfg.solver == "staged":
         # constant selector: S @ lam -> each row's controlling normal impulse
         # (a tiny constant matmul instead of a gather — vmap/fusion friendly)
         norm_idx_np = _np.concatenate(
