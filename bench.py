@@ -8,7 +8,7 @@ a large env batch, jitted as one XLA program on the real chip.
 
 SIMGAN_BENCH_ENV=hopper (default) | laikago selects the robot;
 SIMGAN_BENCH_BATCH / SIMGAN_BENCH_ITERS size the run;
-SIMGAN_BENCH_SOLVER=pgs|staged overrides the contact solver.
+SIMGAN_BENCH_SOLVER=pgs|staged|pgs_pallas overrides the contact solver.
 
 The reference publishes no numbers (BASELINE.md); the driver-set north star
 is >=1M hybrid-sim env steps/sec on a v5e-8 slice, i.e. 125k steps/sec/chip.

@@ -91,6 +91,12 @@ def main():
 
     shapes = [(16, 1000), (64, 250), (128, 125), (160, 100)]
     solvers = ["pgs", "staged"]
+    # PROF_ID_SHAPES="128x125,64x250" / PROF_ID_SOLVERS="pgs,pgs_pallas"
+    if os.environ.get("PROF_ID_SHAPES"):
+        shapes = [tuple(int(v) for v in s.split("x"))
+                  for s in os.environ["PROF_ID_SHAPES"].split(",")]
+    if os.environ.get("PROF_ID_SOLVERS"):
+        solvers = os.environ["PROF_ID_SOLVERS"].split(",")
     results = []
     for solver in solvers:
         for lanes, steps in shapes:

@@ -137,6 +137,11 @@ def main():
     fn, carry, env = env_step_variant({})
     rows["full_step"] = time_chunks(fn, carry, key)
 
+    # solver A/B at the bench shape (PROF_SOLVERS=pgs_pallas,staged ...)
+    for sv in [s for s in os.environ.get("PROF_SOLVERS", "").split(",") if s]:
+        fn, carry, _ = env_step_variant({"solver": sv})
+        rows[f"solver_{sv}"] = time_chunks(fn, carry, key)
+
     for it in (0, 1):
         fn, carry, _ = env_step_variant({"solver_iterations": it})
         rows[f"solver_iter{it}"] = time_chunks(fn, carry, key)
