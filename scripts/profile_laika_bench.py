@@ -93,7 +93,7 @@ def physics_only(env):
         jax.random.split(jax.random.PRNGKey(3), BATCH))
     phys = states.phys
     dp_one = jax.tree.map(lambda x: x[0], states.dp)
-    na = sys_.nv - 6
+    na = len(sys_.actuated)          # fixed-base hopper: nv==6 but 3 motors
 
     @jax.jit
     def chunk(carry, key):
@@ -134,23 +134,27 @@ def main():
     key = jax.random.PRNGKey(7)
     rows = {}
 
+    def add(name, fn, carry):
+        rows[name] = time_chunks(fn, carry, key)
+        print(f"  [{name}] {rows[name] * 1e6:.3f} us/env-step", flush=True)
+
     fn, carry, env = env_step_variant({})
-    rows["full_step"] = time_chunks(fn, carry, key)
+    add("full_step", fn, carry)
 
     # solver A/B at the bench shape (PROF_SOLVERS=pgs_pallas,staged ...)
     for sv in [s for s in os.environ.get("PROF_SOLVERS", "").split(",") if s]:
         fn, carry, _ = env_step_variant({"solver": sv})
-        rows[f"solver_{sv}"] = time_chunks(fn, carry, key)
+        add(f"solver_{sv}", fn, carry)
 
     for it in (0, 1):
         fn, carry, _ = env_step_variant({"solver_iterations": it})
-        rows[f"solver_iter{it}"] = time_chunks(fn, carry, key)
+        add(f"solver_iter{it}", fn, carry)
 
     fn, carry = physics_only(env)
-    rows["physics_only"] = time_chunks(fn, carry, key)
+    add("physics_only", fn, carry)
 
     fn, carry = nets_only(env)
-    rows["nets_only"] = time_chunks(fn, carry, key)
+    add("nets_only", fn, carry)
 
     trace_dir = os.environ.get("SIMGAN_TRACE_DIR", "")
     if trace_dir:

@@ -230,7 +230,8 @@ def main(argv=None):
                         "act/obs noise, like the reference (--non-det 0)")
     p.add_argument("--lanes", type=int, default=128)
     p.add_argument("--steps", type=int, default=125)
-    p.add_argument("--solver", default="pgs", choices=["pgs", "staged"])
+    p.add_argument("--solver", default="pgs",
+                   choices=["pgs", "staged", "pgs_pallas"])
     p.add_argument("--traj-suffix", default="",
                    help="suffix for the expert-traj pickle (e.g. _det), so "
                         "alternate collect recipes don't overwrite the base "

@@ -43,6 +43,13 @@ not another lowering error, is the remaining blocker).  Status: kernel is
 interpret-mode exact (slow-gated test) and now lowers; it stays
 experimental until a bounded Mosaic compile lands.  Repro:
 `PYTHONPATH=/root/repo:/root/.axon_site python scripts/pallas_probe.py 128 128 1 1`.
+
+RESOLUTION (round 3): the Pallas idea landed at reduced scope in
+ops/pgs_pallas.py — the contact PGS solve alone (~700 MLIR ops) compiles
+under Mosaic in ~2 min and runs 5.5x faster than the XLA rolled loop in
+the latency-bound identification regime (RESULTS.md "Pallas PGS contact-
+solve kernel").  This full-substep kernel remains the documented-blocked
+maximal version.
 """
 
 from __future__ import annotations
