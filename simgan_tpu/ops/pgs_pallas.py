@@ -86,6 +86,44 @@ def _pgs_kernel(R: int, iterations: int, is_normal: tuple, norm_idx: tuple,
     out_ref[...] = lax.fori_loop(0, iterations, sweep, lam)
 
 
+def _pgs_kernel_t(R: int, iterations: int, is_normal: tuple, norm_idx: tuple,
+                  a_ref, v0_ref, rhs_ref, mu_ref, soft_ref, act_ref, invd_ref,
+                  lam0_ref, out_ref):
+    """Transposed layout: batch on the LANE axis, rows on sublanes.
+
+    Blocks are (R, TILE) (A is (R·R, TILE)), so a per-row read ``x[r]`` is
+    a sublane slice with all 128 lanes busy, and the k-reduction in
+    ``v = v0[r] + sum_k A[r,k]·lam[k]`` is a sublane-axis tree — no lane
+    waste and no per-row relayouts, unlike the (TILE, R) layout where
+    R<128 idles half the lanes (measured 1.74× SLOWER than XLA at B=8192;
+    this layout is the fix for the bandwidth-bound regime)."""
+    act = act_ref[...]                               # (R, T) f32 mask
+    lam = lam0_ref[...] * act
+    v0 = v0_ref[...]
+    rhs = rhs_ref[...]
+    mu = mu_ref[...]
+    soft = soft_ref[...]
+    invd = invd_ref[...]
+    row = lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+
+    def sweep(_, lam):
+        for r in range(R):
+            a_rows = a_ref[r * R:(r + 1) * R, :]     # (R, T) static slice
+            v = v0[r] + jnp.sum(a_rows * lam, axis=0)
+            lr = lam[r]
+            cand = lr + (rhs[r] - v - soft[r] * lr) * invd[r]
+            if is_normal[r]:
+                new = jnp.maximum(cand, 0.0)
+            else:
+                lim = mu[r] * lam[norm_idx[r]]
+                new = jnp.clip(cand, -lim, lim)
+            new = new * act[r]
+            lam = jnp.where(row == r, new[None, :], lam)
+        return lam
+
+    out_ref[...] = lax.fori_loop(0, iterations, sweep, lam)
+
+
 def _pgs_rolled(A, v0, rhs, mu_r, softness_r, active_r, inv_diag, lam0,
                 *, norm_idx, is_normal_r, iterations):
     """Unbatched reference path: the exact rolled loop from
@@ -112,18 +150,26 @@ def _pgs_rolled(A, v0, rhs, mu_r, softness_r, active_r, inv_diag, lam0,
 @functools.lru_cache(maxsize=None)
 def make_pgs_solver(R: int, iterations: int, is_normal: tuple,
                     norm_idx: tuple, tile: int = 256,
-                    interpret: bool | None = None):
+                    interpret: bool | None = None, layout: str = "auto"):
     """Build the custom-vmap PGS solver for a fixed row structure.
 
     Args are the static row metadata (hashable tuples so the solver is
     cached per system): ``is_normal[r]`` marks normal rows, ``norm_idx[r]``
     is the controlling normal row for friction clamping.
 
+    ``layout``: 'batch_sublane' ((TILE, R) blocks), 'batch_lane'
+    (transposed (R, TILE) blocks — full lane occupancy, see
+    ``_pgs_kernel_t``), or 'auto' (batch_lane; override with
+    SIMGAN_PGS_PALLAS_LAYOUT for A/B measurements).
+
     Returned fn signature (unbatched):
         lam = solve(A, v0, rhs, mu_r, softness_r, active_f, inv_diag, lam0)
     with A (R, R), everything else (R,); ``active_f`` is a float mask.
     Under one ``jax.vmap`` level the batched rule runs the Pallas kernel.
     """
+    import os
+    if layout == "auto":
+        layout = os.environ.get("SIMGAN_PGS_PALLAS_LAYOUT", "batch_lane")
 
     @jax.custom_batching.custom_vmap
     def solve(A, v0, rhs, mu_r, softness_r, active_f, inv_diag, lam0):
@@ -147,15 +193,31 @@ def make_pgs_solver(R: int, iterations: int, is_normal: tuple,
                 [x, jnp.zeros((pad,) + x.shape[1:], x.dtype)])
             A, v0, rhs, mu_r, softness_r, active_f, inv_diag, lam0 = map(
                 z, (A, v0, rhs, mu_r, softness_r, active_f, inv_diag, lam0))
-        A2 = A.reshape(B + pad, R * R)
+        Bp = B + pad
         itp = (jax.default_backend() != "tpu") if interpret is None else interpret
+        if layout == "batch_lane":
+            A2 = A.reshape(Bp, R * R).T               # (R*R, Bp)
+            vecs = [x.T for x in (v0, rhs, mu_r, softness_r, active_f,
+                                  inv_diag, lam0)]    # (R, Bp)
+            spec = lambda d: pl.BlockSpec((d, t), lambda i: (0, i))
+            lam = pl.pallas_call(
+                functools.partial(_pgs_kernel_t, R, iterations, is_normal,
+                                  norm_idx),
+                grid=(Bp // t,),
+                in_specs=[spec(R * R)] + [spec(R)] * 7,
+                out_specs=spec(R),
+                out_shape=jax.ShapeDtypeStruct((R, Bp), jnp.float32),
+                interpret=itp,
+            )(A2, *vecs)
+            return lam.T[:B], True
+        A2 = A.reshape(Bp, R * R)
         spec = lambda d: pl.BlockSpec((t, d), lambda i: (i, 0))
         lam = pl.pallas_call(
             functools.partial(_pgs_kernel, R, iterations, is_normal, norm_idx),
-            grid=((B + pad) // t,),
+            grid=(Bp // t,),
             in_specs=[spec(R * R)] + [spec(R)] * 7,
             out_specs=spec(R),
-            out_shape=jax.ShapeDtypeStruct((B + pad, R), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((Bp, R), jnp.float32),
             interpret=itp,
         )(A2, v0, rhs, mu_r, softness_r, active_f, inv_diag, lam0)
         return lam[:B], True
