@@ -230,7 +230,10 @@ def main(argv=None):
                         "act/obs noise, like the reference (--non-det 0)")
     p.add_argument("--lanes", type=int, default=128)
     p.add_argument("--steps", type=int, default=125)
-    p.add_argument("--solver", default="pgs",
+    # pgs_pallas reproduced the pgs laika_heavy pipeline BIT-IDENTICALLY
+    # (tag r3p == r3a to the last bit) at 2-5x the wall-clock; 'staged' is
+    # disqualified for identification (r3s transfer collapse, RESULTS.md)
+    p.add_argument("--solver", default="pgs_pallas",
                    choices=["pgs", "staged", "pgs_pallas"])
     p.add_argument("--traj-suffix", default="",
                    help="suffix for the expert-traj pickle (e.g. _det), so "
