@@ -28,7 +28,12 @@ import jax.numpy as jnp
 ENV = os.environ.get("SIMGAN_BENCH_ENV", "hopper")
 BATCH = int(os.environ.get("SIMGAN_BENCH_BATCH", 32768 if ENV == "hopper" else 8192))
 ITERS = int(os.environ.get("SIMGAN_BENCH_ITERS", 25))
-SOLVER = os.environ.get("SIMGAN_BENCH_SOLVER", "")
+# default = the measured-fastest PRODUCTION solver per robot (both are
+# end-to-end validated; pgs_pallas is bit-identical to pgs — RESULTS.md):
+# hopper R=19 wins with the Mosaic kernel (0.701 vs 1.025 us/step at
+# B=32768), laikago R=58 wins with XLA pgs (7.57 vs 8.36 at B=8192).
+SOLVER = os.environ.get("SIMGAN_BENCH_SOLVER",
+                        "pgs_pallas" if ENV == "hopper" else "")
 NORTH_STAR_PER_CHIP = 125_000.0
 
 
