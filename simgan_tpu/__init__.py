@@ -15,7 +15,11 @@ import jax as _jax
 # server; experiments re-run the SAME shapes (all laikago variants share
 # one identify/refine HLO), so caching them turns every run after the
 # first into a seconds-level warmup.  Opt out with SIMGAN_NO_JAX_CACHE=1.
-if not _os.environ.get("SIMGAN_NO_JAX_CACHE"):
+# CPU backend is excluded: XLA:CPU executable serialization can SIGABRT
+# inside the cache write (observed in the slow pipeline tests), and local
+# CPU compiles don't need the cache anyway.
+if not _os.environ.get("SIMGAN_NO_JAX_CACHE") \
+        and _os.environ.get("JAX_PLATFORMS", "").lower() != "cpu":
     _cache = _os.environ.get(
         "SIMGAN_JAX_CACHE",
         _os.path.join(_os.path.dirname(_os.path.dirname(__file__)),
