@@ -75,7 +75,8 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         id_env_extra_kwargs: dict | None = None, collect_det: bool = False,
         lanes: int = 128, steps: int = 125, solver: str = "pgs",
         traj_suffix: str = "", seed_offset: int = 0,
-        gdyn_tag: str = "", refine_steps: int | None = None):
+        gdyn_tag: str = "", refine_steps: int | None = None,
+        pessimism: float = 0.0):
     """lanes/steps/solver: rollout shape and contact solver for the identify
     and refine stages.  lanes*steps is held at the reference's 16k
     steps-per-update (same PPO batch, same update count); the round-2 shape
@@ -113,7 +114,7 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         collect_det=collect_det, lanes=lanes, steps=steps, solver=solver,
         traj_path=os.path.basename(traj_path), seed_offset=seed_offset,
         gdyn_dir=os.path.basename(gdyn_dir),
-        refine_steps=refine_steps)
+        refine_steps=refine_steps, pessimism=pessimism)
 
     assert lanes * steps == 16000, (lanes, steps)
     save_interval = 10 if robot == "Hopper" else 25
@@ -197,8 +198,13 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         model, stacked = checkpoints.load_ensemble(
             os.path.join(gdyn_dir, "ppo"), id_cfg.env_name, iters)
         env_extra = {"dyn_model": model, "dyn_ensemble_params": stacked}
-        train_behavior.train(refine_cfg, dict(REFINE_ENV_KWARGS, solver=solver),
-                             env_extra)
+        refine_kwargs = dict(REFINE_ENV_KWARGS, solver=solver)
+        if pessimism:
+            # MOPO-style pessimistic refinement (framework extension, off by
+            # default): penalize the hybrid-sim reward by ensemble
+            # disagreement to keep PPO on the identified distribution
+            refine_kwargs["pessimism_lambda"] = pessimism
+        train_behavior.train(refine_cfg, refine_kwargs, env_extra)
         _mark("refine", t0, ensemble_iters=iters)
 
     if "test" in stages:
@@ -249,6 +255,10 @@ def main(argv=None):
                    help="override the refinement env-step budget (reference: "
                         "2M hopper / 4M laikago); deviations are recorded in "
                         "the result json config block")
+    p.add_argument("--pessimism", type=float, default=0.0,
+                   help="MOPO-style pessimistic refinement: subtract "
+                        "lambda * ensemble disagreement from the hybrid-sim "
+                        "reward (0 = reference semantics)")
     args = p.parse_args(argv)
     run(args.experiment, args.stages.split(","), tag=args.tag,
         s_idx=tuple(int(x) for x in args.s_idx.split(",")),
@@ -256,7 +266,8 @@ def main(argv=None):
         collect_det=bool(args.collect_det),
         lanes=args.lanes, steps=args.steps, solver=args.solver,
         traj_suffix=args.traj_suffix, seed_offset=args.seed_offset,
-        gdyn_tag=args.gdyn_tag, refine_steps=args.refine_steps)
+        gdyn_tag=args.gdyn_tag, refine_steps=args.refine_steps,
+        pessimism=args.pessimism)
 
 
 if __name__ == "__main__":

@@ -71,6 +71,10 @@ class HopperCombinedConfig:
     solver: str = "pgs"           # contact solver: 'pgs' | 'staged' | 'pgs_pallas'
     solver_iterations: int = 5    # PGS sweeps (Bullet numSolverIterations analog)
     solver_warm_start: bool = True
+    # Pessimistic (MOPO-style) refinement: subtract lambda * ensemble
+    # disagreement (mean std across members' deterministic env actions) from
+    # the refine-stage reward.  0.0 = reference semantics (no penalty).
+    pessimism_lambda: float = 0.0
 
 
 @struct.dataclass
@@ -184,6 +188,15 @@ class HopperCombinedEnv:
             self.behavior_model, self.behavior_params, obs11, key, deterministic=False)
         return jnp.tanh(action)
 
+    def _disagreement(self, env_pi_obs):
+        """Ensemble disagreement: mean std across members' deterministic env
+        actions (raw pre-squash space).  MOPO-style uncertainty proxy for
+        pessimistic refinement (cfg.pessimism_lambda)."""
+        means = jax.vmap(lambda p: networks.policy_act(
+            self.dyn_model, p, env_pi_obs, deterministic=True)[1])(
+            self.dyn_ensemble_params)
+        return jnp.mean(jnp.std(means, axis=0))
+
     # ------------------------------------------------------------------
     def reset(self, key):
         cfg = self.cfg
@@ -238,6 +251,8 @@ class HopperCombinedEnv:
             member = jax.tree.map(lambda p: p[idx], self.dyn_ensemble_params)
             _, env_action, _ = networks.policy_act(
                 self.dyn_model, member, env_pi_obs, keys[1], deterministic=False)
+            if cfg.pessimism_lambda:
+                pess_pen = self._disagreement(env_pi_obs)
 
         if cfg.act_noise:
             robo_action = base.perturb(keys[2], robo_action, 0.05)
@@ -275,6 +290,8 @@ class HopperCombinedEnv:
         reward = reward - 3.0 * base.joints_at_limit_count(obs_unnorm[2:5], CTRL_LL, CTRL_UL)
         dq = obs_unnorm[8:11]
         reward = reward - jnp.minimum(jnp.sum(jnp.abs(dq - dq_old)) * 0.05, 5.0)
+        if cfg.pessimism_lambda and not cfg.train_dyn:
+            reward = reward - cfg.pessimism_lambda * pess_pen
 
         height = obs_unnorm[0]
         not_done = jnp.all(jnp.abs(dq) < 50.0) & (height > 0.6) & (height < 1.8)

@@ -55,6 +55,11 @@ class LaikagoCombinedConfig:
     solver: str = "pgs"           # contact solver: 'pgs' | 'staged' | 'pgs_pallas'
     solver_iterations: int = 5    # PGS sweeps (Bullet numSolverIterations analog)
     solver_warm_start: bool = True
+    # Pessimistic (MOPO-style) refinement: subtract lambda * ensemble
+    # disagreement (mean std across members' deterministic env actions) from
+    # the refine-stage reward.  0.0 = reference semantics (no penalty).
+    # Framework extension beyond the reference; see RESULTS.md seed study.
+    pessimism_lambda: float = 0.0
 
 
 @struct.dataclass
@@ -152,6 +157,17 @@ class LaikagoCombinedEnv:
             self.behavior_model, self.behavior_params, b_obs, key, deterministic=False)
         return jnp.tanh(action)
 
+    def _disagreement(self, env_pi_obs):
+        """Ensemble disagreement: mean std across members' deterministic env
+        actions (raw pre-squash space — scale-uniform across the contact-
+        coefficient and battery dims).  MOPO-style uncertainty proxy: large
+        where the refined policy has left the distribution the ensemble was
+        identified on."""
+        means = jax.vmap(lambda p: networks.policy_act(
+            self.dyn_model, p, env_pi_obs, deterministic=True)[1])(
+            self.dyn_ensemble_params)
+        return jnp.mean(jnp.std(means, axis=0))
+
     def _stacked_obs(self, past_obs):
         return jnp.concatenate([past_obs[i] for i in (0, 4, 8)])
 
@@ -232,6 +248,8 @@ class LaikagoCombinedEnv:
             member = jax.tree.map(lambda p: p[idx], self.dyn_ensemble_params)
             _, env_action, _ = networks.policy_act(
                 self.dyn_model, member, env_pi_obs, keys[1], deterministic=False)
+            if cfg.pessimism_lambda:
+                pess_pen = self._disagreement(env_pi_obs)
 
         kin0, com0, _, _ = base_com_and_vel(sys, state.phys)
         x_0, y_0 = com0[0], com0[1]
@@ -288,6 +306,8 @@ class LaikagoCombinedEnv:
                 reward = reward - jnp.abs(com1[0]) * 1.0
             else:
                 reward = reward - com1[1] * 0.5
+            if cfg.pessimism_lambda and not cfg.train_dyn:
+                reward = reward - cfg.pessimism_lambda * pess_pen
 
         rpy = maths.quat_to_euler(phys.q[3:7])
         diff = rpy - TARGET_RPY

@@ -213,3 +213,30 @@ def test_combined_solver_knobs_plumb_to_contact_config():
         HopperCombinedConfig(solver_iterations=3),
         behavior_model=beh_h, behavior_params=bph)
     assert env_h.phys_cfg.contact.iterations == 3
+
+
+def test_pessimistic_refinement_penalty():
+    """pessimism_lambda=0 reproduces reference rewards exactly; lambda>0
+    lowers the refinement reward by exactly lambda * ensemble disagreement
+    (framework extension; MOPO-style uncertainty penalty)."""
+    dyn = SplitPolicy(num_feet=1, hidden=32)
+    members = [dyn.init(jax.random.PRNGKey(i), jnp.zeros((1, 14)))
+               for i in range(3)]
+    ensemble = jax.tree.map(lambda *xs: jnp.stack(xs), *members)
+
+    def run(lam):
+        env = HopperCombinedEnv(
+            HopperCombinedConfig(train_dyn=False, pessimism_lambda=lam),
+            dyn_model=dyn, dyn_ensemble_params=ensemble)
+        st, _ = env.reset(jax.random.PRNGKey(0))
+        s = env.step(st, jnp.full(3, 0.3))
+        return env, st, float(s.reward)
+
+    env0, st, r0 = run(0.0)
+    _, _, r1 = run(1.5)
+    # recompute the expected disagreement on the same env_pi input
+    robo = jnp.tanh(jnp.full(3, 0.3))
+    env_pi_obs = jnp.concatenate([st.past_obs[0], robo])
+    pen = float(env0._disagreement(env_pi_obs))
+    assert pen > 1e-4          # distinct members must disagree
+    assert abs((r0 - r1) - 1.5 * pen) < 1e-4
