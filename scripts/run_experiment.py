@@ -76,7 +76,7 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         lanes: int = 128, steps: int = 125, solver: str = "pgs",
         traj_suffix: str = "", seed_offset: int = 0,
         gdyn_tag: str = "", refine_steps: int | None = None,
-        pessimism: float = 0.0):
+        pessimism: float = 0.0, cross_ensemble: str = ""):
     """lanes/steps/solver: rollout shape and contact solver for the identify
     and refine stages.  lanes*steps is held at the reference's 16k
     steps-per-update (same PPO batch, same update count); the round-2 shape
@@ -114,7 +114,8 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         collect_det=collect_det, lanes=lanes, steps=steps, solver=solver,
         traj_path=os.path.basename(traj_path), seed_offset=seed_offset,
         gdyn_dir=os.path.basename(gdyn_dir),
-        refine_steps=refine_steps, pessimism=pessimism)
+        refine_steps=refine_steps, pessimism=pessimism,
+        cross_ensemble=cross_ensemble)
 
     assert lanes * steps == 16000, (lanes, steps)
     save_interval = 10 if robot == "Hopper" else 25
@@ -195,8 +196,18 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         from simgan_tpu.train import train_behavior
         t0 = time.time()
         iters = scaled_ensemble_iters(id_cfg, save_interval)
-        model, stacked = checkpoints.load_ensemble(
-            os.path.join(gdyn_dir, "ppo"), id_cfg.env_name, iters)
+        if cross_ensemble:
+            # bagging-style ensemble: the final scaled ensemble iteration
+            # from each listed tag's independent identification run
+            # (framework extension; reference semantics = same-run iters)
+            dirs = [os.path.join(RUNS, f"gdyn_{name}_{t}", "ppo")
+                    for t in cross_ensemble.split(",")]
+            model, stacked = checkpoints.load_cross_ensemble(
+                dirs, id_cfg.env_name, iters[-1])
+            iters = [f"{t}@{iters[-1]}" for t in cross_ensemble.split(",")]
+        else:
+            model, stacked = checkpoints.load_ensemble(
+                os.path.join(gdyn_dir, "ppo"), id_cfg.env_name, iters)
         env_extra = {"dyn_model": model, "dyn_ensemble_params": stacked}
         refine_kwargs = dict(REFINE_ENV_KWARGS, solver=solver)
         if pessimism:
@@ -259,6 +270,11 @@ def main(argv=None):
                    help="MOPO-style pessimistic refinement: subtract "
                         "lambda * ensemble disagreement from the hybrid-sim "
                         "reward (0 = reference semantics)")
+    p.add_argument("--cross-ensemble", default="",
+                   help="comma-separated tags: build the refinement ensemble "
+                        "from the final scaled iteration of EACH tag's "
+                        "independent identify run (bagging-style diversity) "
+                        "instead of five iterations of one run")
     args = p.parse_args(argv)
     run(args.experiment, args.stages.split(","), tag=args.tag,
         s_idx=tuple(int(x) for x in args.s_idx.split(",")),
@@ -267,7 +283,7 @@ def main(argv=None):
         lanes=args.lanes, steps=args.steps, solver=args.solver,
         traj_suffix=args.traj_suffix, seed_offset=args.seed_offset,
         gdyn_tag=args.gdyn_tag, refine_steps=args.refine_steps,
-        pessimism=args.pessimism)
+        pessimism=args.pessimism, cross_ensemble=args.cross_ensemble)
 
 
 if __name__ == "__main__":

@@ -93,3 +93,19 @@ def load_ensemble(policy_dir: str, env_name: str, iters: list[int]):
     model = models_params[0][0]
     stacked = jax.tree.map(lambda *xs: np.stack(xs), *[p for _, p in models_params])
     return model, stacked
+
+
+def load_cross_ensemble(policy_dirs: list[str], env_name: str, iter_num=None):
+    """Cross-run ensemble: the SAME iteration from each of several
+    identification runs (e.g. independent seeds), stacked on a member axis.
+
+    Framework extension beyond the reference, whose 5-member ensemble is
+    five iterations of ONE run (hopper_env_combined_policy.py:113-140,
+    laikago_env_combined_policy.py:126-153) and therefore shares one
+    training trajectory's blind spots.  Independently-trained members give
+    the refinement ensemble bagging-style diversity; see the RESULTS.md
+    seed study for why that matters (refinement-exploitation variance)."""
+    models_params = [load_policy(d, env_name, iter_num) for d in policy_dirs]
+    model = models_params[0][0]
+    stacked = jax.tree.map(lambda *xs: np.stack(xs), *[p for _, p in models_params])
+    return model, stacked

@@ -168,3 +168,25 @@ def test_checkpoint_roundtrip_and_ensemble():
         assert all(l.shape[0] == 2 for l in leaves)
         member = jax.tree.map(lambda x: x[0], stacked)
         np.testing.assert_allclose(m.apply(p, x)[1], m3.apply(member, x)[1], atol=1e-6)
+
+
+def test_cross_ensemble_load():
+    """load_cross_ensemble stacks the SAME iteration from several runs
+    (bagging-style refinement ensemble, framework extension)."""
+    with tempfile.TemporaryDirectory() as d:
+        m = MLPPolicy(action_dim=3, hidden=16)
+        dirs, params = [], []
+        for s in range(3):
+            p = m.init(jax.random.PRNGKey(s), jnp.zeros((1, 11)))
+            run_dir = f"{d}/run{s}"
+            checkpoints.save_policy(run_dir, "TestEnv-v0", m, p, iter_num=475)
+            dirs.append(run_dir)
+            params.append(p)
+        m2, stacked = checkpoints.load_cross_ensemble(dirs, "TestEnv-v0", 475)
+        leaves = jax.tree.leaves(stacked)
+        assert all(l.shape[0] == 3 for l in leaves)
+        x = jnp.ones((2, 11))
+        for s in range(3):
+            member = jax.tree.map(lambda a: a[s], stacked)
+            np.testing.assert_allclose(m.apply(params[s], x)[1],
+                                       m2.apply(member, x)[1], atol=1e-6)
