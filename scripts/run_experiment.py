@@ -76,7 +76,8 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         lanes: int = 128, steps: int = 125, solver: str = "pgs",
         traj_suffix: str = "", seed_offset: int = 0,
         gdyn_tag: str = "", refine_steps: int | None = None,
-        pessimism: float = 0.0, cross_ensemble: str = ""):
+        pessimism: float = 0.0, cross_ensemble: str = "",
+        dyn_stiffness: bool = False):
     """lanes/steps/solver: rollout shape and contact solver for the identify
     and refine stages.  lanes*steps is held at the reference's 16k
     steps-per-update (same PPO batch, same update count); the round-2 shape
@@ -115,7 +116,7 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         traj_path=os.path.basename(traj_path), seed_offset=seed_offset,
         gdyn_dir=os.path.basename(gdyn_dir),
         refine_steps=refine_steps, pessimism=pessimism,
-        cross_ensemble=cross_ensemble)
+        cross_ensemble=cross_ensemble, dyn_stiffness=dyn_stiffness)
 
     assert lanes * steps == 16000, (lanes, steps)
     save_interval = 10 if robot == "Hopper" else 25
@@ -188,6 +189,10 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         model, params = checkpoints.load_policy(behavior_dir, exp["behavior_env"])
         env_extra = {"behavior_model": model, "behavior_params": params}
         id_kwargs = dict(ID_ENV_KWARGS, solver=solver)
+        if dyn_stiffness:
+            # framework extension: unpin contact stiffness as a 5th pi_dyn
+            # contact dim (position-level sinks become representable)
+            id_kwargs["dyn_stiffness"] = True
         id_kwargs.update(id_env_extra_kwargs or {})
         train_simgan.train(id_cfg, id_kwargs, env_extra)
         _mark("identify", t0)
@@ -210,6 +215,8 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
                 os.path.join(gdyn_dir, "ppo"), id_cfg.env_name, iters)
         env_extra = {"dyn_model": model, "dyn_ensemble_params": stacked}
         refine_kwargs = dict(REFINE_ENV_KWARGS, solver=solver)
+        if dyn_stiffness:
+            refine_kwargs["dyn_stiffness"] = True
         if pessimism:
             # MOPO-style pessimistic refinement (framework extension, off by
             # default): penalize the hybrid-sim reward by ensemble
@@ -270,6 +277,12 @@ def main(argv=None):
                    help="MOPO-style pessimistic refinement: subtract "
                         "lambda * ensemble disagreement from the hybrid-sim "
                         "reward (0 = reference semantics)")
+    p.add_argument("--dyn-stiffness", type=int, default=0,
+                   help="framework extension: unpin contact stiffness as a "
+                        "5th pi_dyn contact dim per foot (log-uniform "
+                        "[1,1e5]; damping widens to [2,297]) so position-"
+                        "level sinks like the deform mattress are inside "
+                        "the dynamics-GAN family (0 = reference semantics)")
     p.add_argument("--cross-ensemble", default="",
                    help="comma-separated tags: build the refinement ensemble "
                         "from the final scaled iteration of EACH tag's "
@@ -283,7 +296,8 @@ def main(argv=None):
         lanes=args.lanes, steps=args.steps, solver=args.solver,
         traj_suffix=args.traj_suffix, seed_offset=args.seed_offset,
         gdyn_tag=args.gdyn_tag, refine_steps=args.refine_steps,
-        pessimism=args.pessimism, cross_ensemble=args.cross_ensemble)
+        pessimism=args.pessimism, cross_ensemble=args.cross_ensemble,
+        dyn_stiffness=bool(args.dyn_stiffness))
 
 
 if __name__ == "__main__":

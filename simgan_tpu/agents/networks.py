@@ -75,14 +75,21 @@ class MLPPolicy(nn.Module):
 
 
 class SplitPolicy(nn.Module):
-    """Dual-trunk dynamics policy with state-dependent log-std heads."""
+    """Dual-trunk dynamics policy with state-dependent log-std heads.
+
+    ``contact_dims`` is 4 per foot in the reference (friction, spin,
+    restitution, damping — model_split.py head widths); 5 when the
+    ``dyn_stiffness`` framework extension unpins contact stiffness as an
+    extra pi_dyn output (see envs/hopper_combined.contact_coeff_and_battery).
+    """
 
     num_feet: int = 1
     hidden: int = 64
+    contact_dims: int = 4
 
     @property
     def action_dim(self) -> int:
-        return 7 * self.num_feet
+        return (self.contact_dims + 3) * self.num_feet
 
     @nn.compact
     def __call__(self, obs):
@@ -92,11 +99,11 @@ class SplitPolicy(nn.Module):
         value = nn.Dense(1, kernel_init=_ortho(1.0),
                          bias_init=nn.initializers.zeros, name="critic_linear")(critic_h)
         nf = self.num_feet
-        c_mean = nn.Dense(4 * nf, kernel_init=_ortho(0.02),
+        c_mean = nn.Dense(self.contact_dims * nf, kernel_init=_ortho(0.02),
                           bias_init=nn.initializers.zeros, name="contact_mean")(contact_h)
         a_mean = nn.Dense(3 * nf, kernel_init=_ortho(0.02),
                           bias_init=nn.initializers.zeros, name="actuator_mean")(actuator_h)
-        c_logstd = nn.Dense(4 * nf, kernel_init=_ortho(1.0),
+        c_logstd = nn.Dense(self.contact_dims * nf, kernel_init=_ortho(1.0),
                             bias_init=nn.initializers.constant(-0.5), name="contact_logstd")(contact_h)
         a_logstd = nn.Dense(3 * nf, kernel_init=_ortho(1.0),
                             bias_init=nn.initializers.constant(-0.5), name="actuator_logstd")(actuator_h)

@@ -37,23 +37,39 @@ from simgan_tpu.physics.engine import control_step
 DYN_ACT_DIM = 7  # 4 contact + 3 battery
 
 
-def contact_coeff_and_battery(env_action: jax.Array, num_feet: int = 1):
+def contact_coeff_and_battery(env_action: jax.Array, num_feet: int = 1,
+                              stiffness: bool = False):
     """tanh squash -> physical ranges (reference:270-287 and laikago:365-386).
 
     Returns (lateral (F,), spin (F,), restitution (F,), damping (F,),
-    battery (3F,)).  Ranges: fric/spin 0-5, restitution 0-15, damping
-    exp([1,3])*2 = 5.44-40.2 (the reference comment says "20 ~ 2000" but
-    its code is np.exp of a [1,3] squash times 2 — we match the code),
-    battery -0.5..1.5.
+    stiff (F,) or None, battery (3F,)).  Ranges: fric/spin 0-5,
+    restitution 0-15, damping exp([1,3])*2 = 5.44-40.2 (the reference
+    comment says "20 ~ 2000" but its code is np.exp of a [1,3] squash
+    times 2 — we match the code), battery -0.5..1.5.
+
+    ``stiffness=True`` is the ``dyn_stiffness`` framework extension (the
+    reference pins contactStiffness at 1, laikago_env_combined_policy.py:
+    365-386, which locks the hybrid contact into the velocity-level regime
+    erp = dt*k/(dt*k+d) ~ 4e-4): a 5th contact dim per foot sets stiffness
+    log-uniform in [1, 1e5] and the damping squash widens to exp([0,5])*2 =
+    [2, 297], so position-level sinks — e.g. the deform mattress's exact
+    (k=60000, d=150) => erp 0.444 / cfm 1/270 pair — are inside pi_dyn's
+    family.  Layout: (F, 5) contact block, then 3F battery dims.
     """
     t = jnp.tanh(env_action)
-    con = t[: 4 * num_feet].reshape(num_feet, 4)
+    ncon = 5 if stiffness else 4
+    con = t[: ncon * num_feet].reshape(num_feet, ncon)
     lateral = (con[:, 0] + 1.0) / 2.0 * 5.0
     spin = (con[:, 1] + 1.0) / 2.0 * 5.0
     resti = (con[:, 2] + 1.0) / 2.0 * 15.0
-    damp = jnp.exp((con[:, 3] + 1.0) / 2.0 * 2.0 + 1.0) * 2.0
-    battery = t[4 * num_feet:] + 0.5
-    return lateral, spin, resti, damp, battery
+    if stiffness:
+        damp = jnp.exp((con[:, 3] + 1.0) / 2.0 * 5.0) * 2.0
+        stiff = jnp.exp((con[:, 4] + 1.0) / 2.0 * jnp.log(1e5))
+    else:
+        damp = jnp.exp((con[:, 3] + 1.0) / 2.0 * 2.0 + 1.0) * 2.0
+        stiff = None
+    battery = t[ncon * num_feet:] + 0.5
+    return lateral, spin, resti, damp, stiff, battery
 
 
 @dataclasses.dataclass(frozen=True)
@@ -75,6 +91,14 @@ class HopperCombinedConfig:
     # disagreement (mean std across members' deterministic env actions) from
     # the refine-stage reward.  0.0 = reference semantics (no penalty).
     pessimism_lambda: float = 0.0
+    # Framework extension (off = reference semantics): give pi_dyn a 5th
+    # contact dim per foot that unpins contact stiffness (log-uniform
+    # [1, 1e5]; damping widens to [2, 297]) so position-level contact sinks
+    # like the deform mattress are representable.  The hybrid floor
+    # stiffness is raised to 1e9 so the series combine passes the foot
+    # value through (Bullet uses the foot's value directly when the plane
+    # has none set).  See contact_coeff_and_battery.
+    dyn_stiffness: bool = False
 
 
 @struct.dataclass
@@ -122,7 +146,7 @@ class HopperCombinedEnv:
                 behavior_params = networks.reset_logstd(
                     behavior_model, behavior_params, config.behavior_logstd)
             self.obs_dim = OBS_DIM + ACT_DIM        # 14
-            self.act_dim = DYN_ACT_DIM              # 7
+            self.act_dim = DYN_ACT_DIM + (1 if config.dyn_stiffness else 0)
         else:
             assert dyn_model is not None and dyn_ensemble_params is not None
             self.obs_dim = OBS_DIM                  # 11
@@ -147,7 +171,7 @@ class HopperCombinedEnv:
             floor_friction=jnp.asarray(0.5),
             floor_spinning_friction=jnp.asarray(0.0),
             floor_restitution=jnp.asarray(1.0),
-            floor_stiffness=jnp.asarray(1.0),
+            floor_stiffness=jnp.asarray(1e9 if self.cfg.dyn_stiffness else 1.0),
             floor_damping=jnp.asarray(0.0),
             floor_z=jnp.asarray(0.05),
             lateral_friction=jnp.ones(G),
@@ -161,14 +185,16 @@ class HopperCombinedEnv:
     def _apply_env_action(self, dp: DomainParams, env_action) -> tuple[DomainParams, jax.Array]:
         """Write pi_dyn's contact coefficients onto the foot geoms; return
         battery levels (set_con_coeff_and_return_battery_level)."""
-        lateral, spin, resti, damp, battery = contact_coeff_and_battery(env_action, 1)
+        lateral, spin, resti, damp, stiff, battery = contact_coeff_and_battery(
+            env_action, 1, stiffness=self.cfg.dyn_stiffness)
         idx = jnp.asarray(hopper_model.FOOT_GEOMS)
         dp = dp.replace(
             lateral_friction=dp.lateral_friction.at[idx].set(lateral[0]),
             spinning_friction=dp.spinning_friction.at[idx].set(spin[0]),
             restitution=dp.restitution.at[idx].set(resti[0]),
             contact_damping=dp.contact_damping.at[idx].set(damp[0]),
-            contact_stiffness=dp.contact_stiffness.at[idx].set(1.0),
+            contact_stiffness=dp.contact_stiffness.at[idx].set(
+                1.0 if stiff is None else stiff[0]),
         )
         return dp, battery
 

@@ -60,6 +60,13 @@ class LaikagoCombinedConfig:
     # the refine-stage reward.  0.0 = reference semantics (no penalty).
     # Framework extension beyond the reference; see RESULTS.md seed study.
     pessimism_lambda: float = 0.0
+    # Framework extension (off = reference semantics): unpin contact
+    # stiffness as a 5th pi_dyn contact dim per foot (act_dim 28 -> 32) so
+    # position-level sinks like the deform mattress (k=60000, d=150,
+    # erp 0.444) are inside the dynamics-GAN family; the reference pins
+    # stiffness at 1 (laikago_env_combined_policy.py:365-386).  See
+    # hopper_combined.contact_coeff_and_battery for the ranges.
+    dyn_stiffness: bool = False
 
 
 @struct.dataclass
@@ -104,7 +111,7 @@ class LaikagoCombinedEnv:
                 behavior_params = networks.reset_logstd(
                     behavior_model, behavior_params, config.behavior_logstd)
             self.obs_dim = DYN_OBS_DIM     # 64
-            self.act_dim = DYN_ACT_DIM     # 28
+            self.act_dim = DYN_ACT_DIM + (4 if config.dyn_stiffness else 0)
         else:
             assert dyn_model is not None and dyn_ensemble_params is not None
             self.obs_dim = OBS_DIM         # 111
@@ -130,7 +137,7 @@ class LaikagoCombinedEnv:
             floor_friction=jnp.asarray(0.5),
             floor_spinning_friction=jnp.asarray(0.0),
             floor_restitution=jnp.asarray(1.0),
-            floor_stiffness=jnp.asarray(1.0),
+            floor_stiffness=jnp.asarray(1e9 if self.cfg.dyn_stiffness else 1.0),
             floor_damping=jnp.asarray(0.0),
             floor_z=jnp.asarray(0.0),
             lateral_friction=jnp.full(G, 0.5).at[toe].set(1.0),
@@ -141,14 +148,16 @@ class LaikagoCombinedEnv:
         )
 
     def _apply_env_action(self, dp: DomainParams, env_action):
-        lateral, spin, resti, damp, battery = contact_coeff_and_battery(env_action, 4)
+        lateral, spin, resti, damp, stiff, battery = contact_coeff_and_battery(
+            env_action, 4, stiffness=self.cfg.dyn_stiffness)
         toe = jnp.asarray(laika_model.TOE_GEOMS)
         dp = dp.replace(
             lateral_friction=dp.lateral_friction.at[toe].set(lateral),
             spinning_friction=dp.spinning_friction.at[toe].set(spin),
             restitution=dp.restitution.at[toe].set(resti),
             contact_damping=dp.contact_damping.at[toe].set(damp),
-            contact_stiffness=dp.contact_stiffness.at[toe].set(1.0),
+            contact_stiffness=dp.contact_stiffness.at[toe].set(
+                1.0 if stiff is None else stiff),
         )
         return dp, battery
 

@@ -62,7 +62,8 @@ def save_policy(policy_dir: str, env_name: str, model, params, iter_num=None, di
               if f not in ("parent", "name")}
     meta = {
         "model": type(model).__name__,
-        "kwargs": {k: getattr(model, k) for k in ("action_dim", "hidden", "num_feet")
+        "kwargs": {k: getattr(model, k) for k in ("action_dim", "hidden", "num_feet",
+                                                  "contact_dims")
                    if k in fields},
     }
     path = _ckpt_dir(policy_dir, env_name, iter_num, disc)

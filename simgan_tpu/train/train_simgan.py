@@ -138,7 +138,10 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
     key, k_pi, k_d, k_env = jax.random.split(key, 4)
 
     if cfg.use_split_pi:
-        model = SplitPolicy(num_feet=cfg.num_feet, hidden=cfg.hidden_size)
+        model = SplitPolicy(
+            num_feet=cfg.num_feet, hidden=cfg.hidden_size,
+            contact_dims=5 if env_kwargs.get("dyn_stiffness") else 4)
+        assert model.action_dim == env.act_dim, (model.action_dim, env.act_dim)
     else:
         model = MLPPolicy(action_dim=env.act_dim, hidden=cfg.hidden_size)
     if cfg.warm_start:

@@ -60,6 +60,41 @@ def test_hopper_combined_dims():
     assert s.window.select_and_merge().shape == (25,)
 
 
+def test_hopper_combined_dyn_stiffness():
+    """dyn_stiffness extension: act_dim grows by 1/foot, pi_dyn's stiffness
+    reaches the foot geoms (series combine with the 1e9 floor passes it
+    through), and the env steps with the wider action."""
+    from simgan_tpu.models import hopper as hopper_model
+    from simgan_tpu.physics.contact import _combined_params
+
+    m, p = _behavior(11, 3)
+    env = HopperCombinedEnv(
+        HopperCombinedConfig(train_dyn=True, dyn_stiffness=True),
+        behavior_model=m, behavior_params=p)
+    assert env.act_dim == 8
+    st, obs = env.reset(jax.random.PRNGKey(0))
+    dp, _ = env._apply_env_action(st.dp, jnp.full(8, 10.0))  # tanh -> ~1
+    foot = hopper_model.FOOT_GEOMS[0]
+    np.testing.assert_allclose(
+        float(dp.contact_stiffness[foot]), 1e5, rtol=1e-3)
+    _, _, _, k, d = _combined_params(env.sys, dp, env.phys_cfg.contact)
+    np.testing.assert_allclose(float(k[foot]), 1e5, rtol=1e-3)
+    np.testing.assert_allclose(float(d[foot]), np.exp(5.0) * 2, rtol=1e-3)
+    s = env.step(st, jnp.zeros(8))
+    assert s.obs.shape == (14,)
+    # refinement mode: a contact_dims=5 ensemble round-trips through the env
+    dyn = SplitPolicy(num_feet=1, hidden=32, contact_dims=5)
+    assert dyn.action_dim == 8
+    member = dyn.init(jax.random.PRNGKey(1), jnp.zeros((1, 14)))
+    ensemble = jax.tree.map(lambda x: jnp.stack([x] * 5), member)
+    env_r = HopperCombinedEnv(
+        HopperCombinedConfig(train_dyn=False, dyn_stiffness=True),
+        dyn_model=dyn, dyn_ensemble_params=ensemble)
+    st, _ = env_r.reset(jax.random.PRNGKey(0))
+    s = env_r.step(st, jnp.zeros(3))
+    assert s.obs.shape == (11,)
+
+
 def test_hopper_combined_refinement_dims():
     dyn = SplitPolicy(num_feet=1, hidden=32)
     member = dyn.init(jax.random.PRNGKey(1), jnp.zeros((1, 14)))
@@ -117,16 +152,42 @@ def test_hopper_reward_formula():
 def test_contact_coeff_mapping():
     """tanh squash ranges (hopper_env_combined_policy.py:270-287)."""
     big = jnp.full(7, 10.0)   # tanh -> ~1
-    lat, spin, resti, damp, batt = contact_coeff_and_battery(big, 1)
+    lat, spin, resti, damp, stiff, batt = contact_coeff_and_battery(big, 1)
+    assert stiff is None  # reference semantics: stiffness pinned (at 1)
     np.testing.assert_allclose(lat, [5.0], atol=1e-3)
     np.testing.assert_allclose(spin, [5.0], atol=1e-3)
     np.testing.assert_allclose(resti, [15.0], atol=1e-2)
     np.testing.assert_allclose(damp, [np.exp(3.0) * 2], rtol=1e-3)
     np.testing.assert_allclose(batt, [1.5] * 3, atol=1e-3)
     small = jnp.full(7, -10.0)
-    lat, spin, resti, damp, batt = contact_coeff_and_battery(small, 1)
+    lat, spin, resti, damp, stiff, batt = contact_coeff_and_battery(small, 1)
     np.testing.assert_allclose(damp, [np.exp(1.0) * 2], rtol=1e-3)  # ~5.44... min
     np.testing.assert_allclose(batt, [-0.5] * 3, atol=1e-3)
+
+
+def test_contact_coeff_mapping_dyn_stiffness():
+    """dyn_stiffness extension: 5 contact dims/foot; the deform mattress's
+    exact (k=60000, d=150) pair is inside the squash ranges."""
+    big = jnp.full(8, 10.0)
+    lat, spin, resti, damp, stiff, batt = contact_coeff_and_battery(
+        big, 1, stiffness=True)
+    np.testing.assert_allclose(lat, [5.0], atol=1e-3)
+    np.testing.assert_allclose(damp, [np.exp(5.0) * 2], rtol=1e-3)   # max 297
+    np.testing.assert_allclose(stiff, [1e5], rtol=1e-3)
+    np.testing.assert_allclose(batt, [1.5] * 3, atol=1e-3)
+    small = jnp.full(8, -10.0)
+    _, _, _, damp, stiff, _ = contact_coeff_and_battery(small, 1, stiffness=True)
+    np.testing.assert_allclose(damp, [2.0], rtol=1e-3)
+    np.testing.assert_allclose(stiff, [1.0], rtol=1e-3)
+    # invert the squash for the laikago deform target (k=60000, d=150):
+    # both pre-tanh values must be finite and within tanh's open range
+    t_k = 2.0 * np.log(60000.0) / np.log(1e5) - 1.0
+    t_d = 2.0 * np.log(150.0 / 2.0) / 5.0 - 1.0
+    assert -1.0 < t_k < 1.0 and -1.0 < t_d < 1.0
+    a = jnp.zeros(8).at[3].set(np.arctanh(t_d)).at[4].set(np.arctanh(t_k))
+    _, _, _, damp, stiff, _ = contact_coeff_and_battery(a, 1, stiffness=True)
+    np.testing.assert_allclose(damp, [150.0], rtol=1e-4)
+    np.testing.assert_allclose(stiff, [60000.0], rtol=1e-4)
 
 
 # ---------------------------------------------------------------------------

@@ -96,6 +96,53 @@ def test_plain_gail_behavior(tmp_path):
 
 
 @slow
+def test_simgan_dyn_stiffness_pipeline(tmp_path):
+    """dyn_stiffness extension end-to-end: identification trains a
+    contact_dims=5 SplitPolicy (act_dim 8), the checkpoint round-trips its
+    contact_dims, and the refinement env consumes the wider ensemble."""
+    from simgan_tpu.train import checkpoints, train_behavior, train_simgan
+    from simgan_tpu.train.config import TrainConfig
+
+    d = str(tmp_path)
+    cfg = TrainConfig(env_name="HopperURDFEnv-v3", num_processes=2, num_steps=32,
+                      num_env_steps=32 * 2 * 2, ppo_epoch=2, num_mini_batch=2,
+                      save_dir=f"{d}/behavior", log_interval=10, save_interval=1, seed=0)
+    model, params = train_behavior.train(cfg)
+
+    from simgan_tpu.train.collect import CollectConfig
+    from simgan_tpu.train import collect as collect_mod
+    collect_mod.collect(CollectConfig(
+        env_name="HopperURDFEnv-v3", load_dir=f"{d}/behavior/ppo",
+        save_traj=True, num_trajs=4, save_path=f"{d}/expert.pkl",
+        max_steps=40, non_det=True, seed=0), {"deform_floor_env": 1})
+
+    gcfg = TrainConfig(env_name="HopperCombinedEnv-v1", num_processes=2, num_steps=32,
+                       num_env_steps=32 * 2 * 2, ppo_epoch=2, num_mini_batch=2,
+                       gail_traj_path=f"{d}/expert.pkl", gail_traj_num=4,
+                       gail_downsample_frequency=1, gail_epoch=1, gail_batch_size=16,
+                       hidden_size=32, gail_dis_hdim=32, use_split_pi=True,
+                       num_feet=1, save_dir=f"{d}/gdyn", log_interval=1,
+                       save_interval=1, seed=0)
+    extra = {"train_dyn": 1, "act_noise": 1, "obs_noise": 1,
+             "behavior_logstd": -1.3, "dyn_stiffness": 1}
+    dyn_model, _, _, _ = train_simgan.train(
+        gcfg, extra, {"behavior_model": model, "behavior_params": params})
+    assert dyn_model.contact_dims == 5 and dyn_model.action_dim == 8
+
+    dmodel, stacked = checkpoints.load_ensemble(f"{d}/gdyn/ppo", "HopperCombinedEnv-v1", [0, 1])
+    assert dmodel.contact_dims == 5    # round-trips through the npz meta
+    rcfg = TrainConfig(env_name="HopperCombinedEnv-v1", num_processes=2, num_steps=32,
+                       num_env_steps=32 * 2 * 2, ppo_epoch=2, num_mini_batch=2,
+                       lr=1.5e-4, clip_param=0.1, use_linear_lr_decay=True,
+                       warm_start=f"{d}/behavior/ppo/HopperURDFEnv-v3",
+                       warm_start_logstd=-1.3, save_dir=f"{d}/refine",
+                       log_interval=10, save_interval=1, seed=0)
+    train_behavior.train(rcfg, {"train_dyn": 0, "act_noise": 1, "obs_noise": 1,
+                                "dyn_stiffness": 1},
+                         {"dyn_model": dmodel, "dyn_ensemble_params": stacked})
+
+
+@slow
 def test_laikago_combined_steps():
     from simgan_tpu.agents.networks import MLPPolicy
     from simgan_tpu.envs.laikago_combined import (LaikagoCombinedConfig,
