@@ -6,7 +6,12 @@ with the frozen behavior policy fused in (contact-coefficient write +
 10x500Hz physics substeps + behavior MLP + window bookkeeping), vmapped over
 a large env batch, jitted as one XLA program on the real chip.
 
-SIMGAN_BENCH_ENV=hopper (default) | laikago selects the robot;
+Both robots are measured by default (VERDICT r3 item 4: the driver artifact
+should carry the full perf story), each at its measured-best batch/solver:
+hopper B=32768 with the Mosaic Pallas PGS kernel, laikago B=8192 with the
+row-unrolled XLA pgs (RESULTS.md round-3 A/Bs).
+
+SIMGAN_BENCH_ENV=hopper|laikago restricts to one robot;
 SIMGAN_BENCH_BATCH / SIMGAN_BENCH_ITERS size the run;
 SIMGAN_BENCH_SOLVER=pgs|staged|pgs_pallas overrides the contact solver.
 
@@ -14,40 +19,39 @@ The reference publishes no numbers (BASELINE.md); the driver-set north star
 is >=1M hybrid-sim env steps/sec on a v5e-8 slice, i.e. 125k steps/sec/chip.
 vs_baseline reports value / 125000.
 
-Prints exactly ONE JSON line.
+Prints exactly ONE JSON line (hopper is the headline metric; the laikago
+measurement rides along as extra keys).
 """
 
 import json
 import os
-import sys
 import time
 
 import jax
 import jax.numpy as jnp
 
-ENV = os.environ.get("SIMGAN_BENCH_ENV", "hopper")
-BATCH = int(os.environ.get("SIMGAN_BENCH_BATCH", 32768 if ENV == "hopper" else 8192))
+ENV = os.environ.get("SIMGAN_BENCH_ENV", "")  # '' = both robots
 ITERS = int(os.environ.get("SIMGAN_BENCH_ITERS", 25))
-# default = the measured-fastest PRODUCTION solver per robot (both are
-# end-to-end validated; pgs_pallas is bit-identical to pgs — RESULTS.md):
-# hopper R=19 wins with the Mosaic kernel (0.701 vs 1.025 us/step at
-# B=32768), laikago R=58 wins with XLA pgs (7.57 vs 8.36 at B=8192).
-SOLVER = os.environ.get("SIMGAN_BENCH_SOLVER",
-                        "pgs_pallas" if ENV == "hopper" else "")
 NORTH_STAR_PER_CHIP = 125_000.0
 
+# measured-fastest PRODUCTION solver/batch per robot (both end-to-end
+# validated; pgs_pallas is bit-identical to pgs — RESULTS.md): hopper R=19
+# wins with the Mosaic kernel (0.701 vs 1.025 us/step at B=32768), laikago
+# R=58 wins with XLA pgs row-unrolled (6.64 vs 8.36 at B=8192).
+DEFAULTS = {"hopper": (32768, "pgs_pallas"), "laikago": (8192, "")}
 
-def make_env(key):
+
+def make_env(env_name, key, solver):
     from simgan_tpu.agents.networks import MLPPolicy
 
-    if ENV == "laikago":
+    if env_name == "laikago":
         from simgan_tpu.envs.laikago_combined import (LaikagoCombinedConfig,
                                                       LaikagoCombinedEnv)
         behavior = MLPPolicy(action_dim=12, hidden=64)
         b_params = behavior.init(key, jnp.zeros((1, 111)))
         cfg = LaikagoCombinedConfig(act_noise=True, obs_noise=True,
                                     behavior_logstd=-1.3,
-                                    **({"solver": SOLVER} if SOLVER else {}))
+                                    **({"solver": solver} if solver else {}))
         env = LaikagoCombinedEnv(cfg, behavior_model=behavior,
                                  behavior_params=b_params)
         num_feet = 4
@@ -59,23 +63,28 @@ def make_env(key):
         env = HopperCombinedEnv(
             HopperCombinedConfig(act_noise=True, obs_noise=True,
                                  behavior_logstd=-1.3,
-                                 **({"solver": SOLVER} if SOLVER else {})),
+                                 **({"solver": solver} if solver else {})),
             behavior_model=behavior, behavior_params=b_params)
         num_feet = 1
     return env, num_feet
 
 
-def main():
+def measure(env_name: str) -> float:
+    """Steady-state hybrid-sim env steps/sec for one robot."""
     from simgan_tpu.agents.networks import SplitPolicy, policy_act
+
+    batch, solver = DEFAULTS[env_name]
+    batch = int(os.environ.get("SIMGAN_BENCH_BATCH", batch))
+    solver = os.environ.get("SIMGAN_BENCH_SOLVER", solver)
 
     key = jax.random.PRNGKey(0)
     k_b, k_d, k_env, k_run = jax.random.split(key, 4)
 
-    env, num_feet = make_env(k_b)
+    env, num_feet = make_env(env_name, k_b, solver)
     dyn = SplitPolicy(num_feet=num_feet, hidden=100)
     d_params = dyn.init(k_d, jnp.zeros((1, env.obs_dim)))
 
-    reset_keys = jax.random.split(k_env, BATCH)
+    reset_keys = jax.random.split(k_env, batch)
     states, obs = jax.jit(jax.vmap(env.reset))(reset_keys)
 
     @jax.jit
@@ -108,17 +117,26 @@ def main():
         states, obs, r = rollout_chunk(states, obs, k)
     jax.block_until_ready(states)
     dt = time.perf_counter() - t0
+    return batch * ITERS * n_chunks / dt
 
-    steps = BATCH * ITERS * n_chunks
-    sps = steps / dt
-    metric = ("hybrid_sim_env_steps_per_sec_per_chip" if ENV == "hopper"
-              else f"hybrid_sim_env_steps_per_sec_per_chip_{ENV}")
-    print(json.dumps({
-        "metric": metric,
-        "value": round(sps, 1),
+
+def main():
+    robots = [ENV] if ENV else ["hopper", "laikago"]
+    sps = {r: measure(r) for r in robots}
+    primary = "hopper" if "hopper" in sps else robots[0]
+    out = {
+        "metric": ("hybrid_sim_env_steps_per_sec_per_chip"
+                   if primary == "hopper"
+                   else f"hybrid_sim_env_steps_per_sec_per_chip_{primary}"),
+        "value": round(sps[primary], 1),
         "unit": "env_steps/s",
-        "vs_baseline": round(sps / NORTH_STAR_PER_CHIP, 3),
-    }))
+        "vs_baseline": round(sps[primary] / NORTH_STAR_PER_CHIP, 3),
+    }
+    for r in robots:
+        if r != primary:
+            out[f"{r}_value"] = round(sps[r], 1)
+            out[f"{r}_vs_baseline"] = round(sps[r] / NORTH_STAR_PER_CHIP, 3)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -77,7 +77,7 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         traj_suffix: str = "", seed_offset: int = 0,
         gdyn_tag: str = "", refine_steps: int | None = None,
         pessimism: float = 0.0, cross_ensemble: str = "",
-        dyn_stiffness: bool = False):
+        dyn_stiffness: bool = False, d_ensemble: int = 1):
     """lanes/steps/solver: rollout shape and contact solver for the identify
     and refine stages.  lanes*steps is held at the reference's 16k
     steps-per-update (same PPO batch, same update count); the round-2 shape
@@ -116,7 +116,8 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         traj_path=os.path.basename(traj_path), seed_offset=seed_offset,
         gdyn_dir=os.path.basename(gdyn_dir),
         refine_steps=refine_steps, pessimism=pessimism,
-        cross_ensemble=cross_ensemble, dyn_stiffness=dyn_stiffness)
+        cross_ensemble=cross_ensemble, dyn_stiffness=dyn_stiffness,
+        d_ensemble=d_ensemble)
 
     assert lanes * steps == 16000, (lanes, steps)
     save_interval = 10 if robot == "Hopper" else 25
@@ -130,6 +131,7 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
                             "seed": exp["seed"] + seed_offset,
                             "gail_s_idx": ",".join(map(str, s_idx)),
                             "gail_a_idx": ",".join(map(str, a_idx)),
+                            "d_ensemble": d_ensemble,
                             **(overrides_id or {})})
     refine_cfg = TrainConfig(**{**exp["refine"],
                                 "num_processes": lanes,
@@ -213,6 +215,16 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         else:
             model, stacked = checkpoints.load_ensemble(
                 os.path.join(gdyn_dir, "ppo"), id_cfg.env_name, iters)
+        # fail fast on a dyn_stiffness mismatch between the loaded ensemble
+        # and the refine env flag (e.g. --gdyn-tag/--cross-ensemble pointing
+        # at a non-stiffness identify run) — otherwise this surfaces much
+        # later as an opaque battery-shape broadcast error inside env.step
+        num_feet = 1 if robot == "Hopper" else 4
+        expected_act = ((5 if dyn_stiffness else 4) + 3) * num_feet
+        assert model.action_dim == expected_act, (
+            f"loaded dyn ensemble action_dim {model.action_dim} != "
+            f"{expected_act} expected with dyn_stiffness={dyn_stiffness} "
+            f"(was the ensemble identified with a different --dyn-stiffness?)")
         env_extra = {"dyn_model": model, "dyn_ensemble_params": stacked}
         refine_kwargs = dict(REFINE_ENV_KWARGS, solver=solver)
         if dyn_stiffness:
@@ -283,6 +295,10 @@ def main(argv=None):
                         "[1,1e5]; damping widens to [2,297]) so position-"
                         "level sinks like the deform mattress are inside "
                         "the dynamics-GAN family (0 = reference semantics)")
+    p.add_argument("--d-ensemble", type=int, default=1,
+                   help="framework extension: K discriminators on per-member "
+                        "expert bootstraps, reward = mean of member rewards "
+                        "(1 = reference semantics)")
     p.add_argument("--cross-ensemble", default="",
                    help="comma-separated tags: build the refinement ensemble "
                         "from the final scaled iteration of EACH tag's "
@@ -297,7 +313,7 @@ def main(argv=None):
         traj_suffix=args.traj_suffix, seed_offset=args.seed_offset,
         gdyn_tag=args.gdyn_tag, refine_steps=args.refine_steps,
         pessimism=args.pessimism, cross_ensemble=args.cross_ensemble,
-        dyn_stiffness=bool(args.dyn_stiffness))
+        dyn_stiffness=bool(args.dyn_stiffness), d_ensemble=args.d_ensemble)
 
 
 if __name__ == "__main__":

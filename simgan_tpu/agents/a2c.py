@@ -3,9 +3,9 @@
 Reference: third_party/a2c_ppo_acktr/algo/a2c_acktr.py:55-102 (single
 full-batch gradient step per update: policy gradient + value MSE + entropy
 bonus, RMSprop).  The ACKTR/KFAC variant (algo/kfac.py) applies a natural
-gradient preconditioner; here it is exposed as the same update with an
-optax preconditioner slot (KFAC itself is not yet ported — the six paper
-experiments use PPO only, train_*.sh).
+gradient preconditioner: the JAX port lives in agents/kfac.py (probe-trick
+covariance capture + eigh preconditioner, tested in tests/test_kfac.py) and
+is wired here via ``acktr_update``.
 """
 
 from __future__ import annotations

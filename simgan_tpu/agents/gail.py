@@ -114,6 +114,67 @@ def update(
     }
 
 
+def create_ensemble(key, feat_dim: int, num_envs: int, cfg: GailConfig,
+                    n_members: int):
+    """K independently-initialized discriminators as one stacked
+    DiscriminatorState (leading member axis).  Framework extension
+    (--d-ensemble; K=1 elsewhere = reference semantics)."""
+    model = Discriminator(hidden=cfg.hidden)
+    tx = optax.adam(cfg.lr, eps=cfg.eps)
+
+    def one(k):
+        params = model.init(k, jnp.zeros((1, feat_dim)))
+        return DiscriminatorState(params=params, opt_state=tx.init(params),
+                                  returns=jnp.zeros(num_envs))
+
+    state = jax.vmap(one)(jax.random.split(key, n_members))
+    return model, tx, state
+
+
+def update_ensemble(
+    model,
+    tx,
+    state: DiscriminatorState,       # stacked, leading member axis K
+    expert_feats: jax.Array,         # (K, M, F) per-member bootstrap rows
+    policy_feats: jax.Array,         # (P, F) shared rollout rows
+    key: jax.Array,
+    cfg: GailConfig,
+):
+    """Each member runs the reference's exact update on its own expert
+    bootstrap (different minibatch shuffles via per-member keys); stats are
+    averaged over members."""
+    keys = jax.random.split(key, expert_feats.shape[0])
+    new_state, stats = jax.vmap(
+        lambda st, ef, k: update(model, tx, st, ef, policy_feats, k, cfg)
+    )(state, expert_feats, keys)
+    return new_state, {k: jnp.mean(v) for k, v in stats.items()}
+
+
+def predict_reward_ensemble(
+    model,
+    state: DiscriminatorState,       # stacked, leading member axis K
+    feats: jax.Array,                # (T, N, F)
+    masks: jax.Array,                # (T, N)
+    gamma: float,
+    offset: jax.Array,
+):
+    """Mean over members of log(sig d) - log(1 - sig d), + offset.  The
+    running discounted return is a property of the COMBINED reward stream,
+    so one carry is threaded (kept identical across member slots)."""
+    d = jax.vmap(lambda p: model.apply(p, feats))(state.params)   # (K, T, N)
+    s = jax.nn.sigmoid(d)
+    rewards = jnp.mean(jnp.log(s + 1e-7) - jnp.log(1 - s + 1e-7), axis=0) + offset
+
+    def body(ret, xs):
+        r, m = xs
+        ret = ret * gamma * m + r
+        return ret, ret
+
+    ret, returns = jax.lax.scan(body, state.returns[0], (rewards, masks))
+    rets = jnp.broadcast_to(ret, state.returns.shape)
+    return state.replace(returns=rets), rewards, returns
+
+
 def predict_reward(
     model,
     state: DiscriminatorState,

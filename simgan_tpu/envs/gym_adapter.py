@@ -58,12 +58,16 @@ class GymEnv:
         return np.asarray(s.obs), float(s.reward), bool(s.done), info
 
     def get_dist(self):
-        m = getattr(self._state, "phys", None)
-        if m is None:
+        phys = getattr(self._state, "phys", None)
+        if phys is None:
             return 0.0
         if self._env.sys.fixed_base:
-            return float(self._state.phys.q[0])
-        return float(self._state.phys.q[0])
+            return float(phys.q[0])       # hopper: root prismatic x
+        # floating base (laikago): x of the base-link COM, matching the
+        # reference's get_dist (root body position, laikago_env_v4.py)
+        from simgan_tpu.core import maths
+        com = phys.q[0:3] + maths.quat_rotate(phys.q[3:7], self._env.sys.com[0])
+        return float(com[0])
 
     def getSourceCode(self):
         return inspect.getsource(type(self._env)) + inspect.getsource(type(self))

@@ -177,7 +177,12 @@ class HopperCombinedEnv:
             lateral_friction=jnp.ones(G),
             spinning_friction=jnp.zeros(G).at[0].set(0.1).at[1].set(0.1),
             restitution=jnp.zeros(G),
-            contact_stiffness=jnp.ones(G),
+            # dyn_stiffness raises floor_stiffness to 1e9 so the series
+            # combine passes the foot's per-step stiffness through; the
+            # geom-side default drops 1 -> 0.5 so every geom's RESET-time
+            # combined stiffness stays at the flag-off value
+            # k = 1*1/(1+1) = 0.5 (feet are overwritten each control step).
+            contact_stiffness=jnp.full(G, 0.5 if self.cfg.dyn_stiffness else 1.0),
             contact_damping=jnp.zeros(G).at[0].set(1000.0).at[1].set(1000.0),
         )
         return dp

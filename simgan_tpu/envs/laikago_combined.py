@@ -143,7 +143,11 @@ class LaikagoCombinedEnv:
             lateral_friction=jnp.full(G, 0.5).at[toe].set(1.0),
             spinning_friction=jnp.zeros(G).at[toe].set(0.1),
             restitution=jnp.zeros(G),
-            contact_stiffness=jnp.ones(G),
+            # see hopper_combined._default_dp: with dyn_stiffness the floor
+            # passes the geom value through (floor k=1e9), so the geom-side
+            # default is 0.5 to keep non-toe (and reset-time toe) combined
+            # stiffness at the flag-off 0.5
+            contact_stiffness=jnp.full(G, 0.5 if self.cfg.dyn_stiffness else 1.0),
             contact_damping=jnp.zeros(G).at[toe].set(1000.0),
         )
 

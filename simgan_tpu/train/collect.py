@@ -44,6 +44,11 @@ class CollectConfig:
     dis_dir: str = ""
     dis_iter: Optional[int] = None
     d_plot_path: str = ""
+    # rollout visualization (the reference renders live via the PyBullet GUI,
+    # collect_tarsim_traj.py:146-157): write render_trajs skeleton/trace PNGs
+    # under this directory (utils/render.py)
+    render_path: str = ""
+    render_trajs: int = 3
 
 
 def rollout_trajs(env, model, params, key, num_trajs: int, max_steps: int,
@@ -121,6 +126,21 @@ def collect(cfg: CollectConfig, env_kwargs: dict | None = None,
         if cfg.d_plot_path:
             d_scores.plot_d_scores(np.nan_to_num(avg, nan=0.5), cfg.d_plot_path)
             print("D-score plot saved to", cfg.d_plot_path)
+
+    if cfg.render_path:
+        import os
+
+        from simgan_tpu.utils.render import render_rollout
+        os.makedirs(cfg.render_path, exist_ok=True)
+        # same key tree as rollout_trajs: rendered traj i IS eval traj i
+        rkeys = jax.random.split(key, cfg.num_trajs)
+        for i in range(min(cfg.render_trajs, cfg.num_trajs)):
+            png = os.path.join(cfg.render_path, f"traj_{i}.png")
+            r, ln = render_rollout(env, model, params, rkeys[i], png,
+                                   max_steps=cfg.max_steps,
+                                   deterministic=not cfg.non_det,
+                                   title=cfg.env_name)
+            print(f"render {png}: reward {r:.1f} len {ln}")
 
     if cfg.save_traj:
         all_trajs = {}

@@ -62,6 +62,13 @@ class TrainConfig:
     # (reference main_gail_dyn_ppo.py:152-157; "0" = newest frame only)
     gail_s_idx: str = "0"
     gail_a_idx: str = "0"
+    # Framework extension (1 = reference semantics): train K discriminators,
+    # each on its own bootstrap resample of the expert windows, and use the
+    # MEAN of the per-member log D - log(1-D) rewards.  Identification-side
+    # diversity aimed at the laika_heavy transfer seed lottery (RESULTS.md
+    # round-3 seed study): the reward signal pi_dyn identifies against is an
+    # average over data draws instead of one D's idiosyncratic boundary.
+    d_ensemble: int = 1
     no_alive_bonus: bool = False
     use_split_pi: bool = False
     num_feet: int = 1

@@ -132,7 +132,8 @@ def jit_update_fn(cfg: TrainConfig, update_fn, train_state):
     assert len(jax.devices()) >= cfg.num_devices, (
         len(jax.devices()), cfg.num_devices)
     mesh = make_mesh(cfg.num_devices)
-    return jit_dp(update_fn, mesh), shard_train_state(mesh, train_state)
+    return (jit_dp(update_fn, mesh, train_state),
+            shard_train_state(mesh, train_state))
 
 
 class BehaviorTrainState(NamedTuple):

@@ -80,8 +80,15 @@ def make_update_fn(venv, model, tx, disc_model, disc_tx, expert_feats,
 
         # --- discriminator update on this rollout's features ---
         policy_feats = traj.feat.reshape(-1, traj.feat.shape[-1])
-        disc, d_stats = gail.update(disc_model, disc_tx, state.disc,
-                                    expert_feats, policy_feats, k_d, gcfg)
+        if cfg.d_ensemble > 1:
+            # K members, per-member expert bootstraps (expert_feats is
+            # (K, M, F) here) — framework extension, --d-ensemble
+            disc, d_stats = gail.update_ensemble(
+                disc_model, disc_tx, state.disc, expert_feats, policy_feats,
+                k_d, gcfg)
+        else:
+            disc, d_stats = gail.update(disc_model, disc_tx, state.disc,
+                                        expert_feats, policy_feats, k_d, gcfg)
 
         # --- survival-bias offset (main_gail_dyn_ppo.py:258-271; the plain
         # GAIL path uses predict_reward's default offset=0, gail.py:195) ---
@@ -92,7 +99,9 @@ def make_update_fn(venv, model, tx, disc_model, disc_tx, expert_feats,
         r_sa = jnp.log(d_sa) - jnp.log(1.0 - d_sa) if use_offset else 0.0
 
         # --- reward overwrite + return-RMS renormalization ---
-        disc, rewards, returns = gail.predict_reward(
+        predict = (gail.predict_reward_ensemble if cfg.d_ensemble > 1
+                   else gail.predict_reward)
+        disc, rewards, returns = predict(
             disc_model, disc, traj.feat, traj.mask, cfg.gamma, offset=-r_sa)
         ret_rms = state.ret_rms.update(returns.reshape(-1))
         rewards = jnp.clip(rewards / jnp.sqrt(ret_rms.var + 1e-7), -10.0, 10.0)
@@ -141,7 +150,6 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
         model = SplitPolicy(
             num_feet=cfg.num_feet, hidden=cfg.hidden_size,
             contact_dims=5 if env_kwargs.get("dyn_stiffness") else 4)
-        assert model.action_dim == env.act_dim, (model.action_dim, env.act_dim)
     else:
         model = MLPPolicy(action_dim=env.act_dim, hidden=cfg.hidden_size)
     if cfg.warm_start:
@@ -152,6 +160,13 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
             params = networks.reset_logstd(model, params, cfg.warm_start_logstd)
     else:
         params = model.init(k_pi, jnp.zeros((1, env.obs_dim)))
+    # act-dim consistency check on the FINAL model (covers warm starts too):
+    # a SplitPolicy checkpoint identified with/without dyn_stiffness must
+    # match the env's contact_dims, else the battery slice misbroadcasts
+    # deep inside the combined env
+    assert model.action_dim == env.act_dim, (
+        f"policy action_dim {model.action_dim} != env act_dim {env.act_dim} "
+        f"(dyn_stiffness env flag vs the policy's contact_dims?)")
 
     # --- expert data (main_gail_dyn_ppo.py:141-175) ---
     rng = np.random.RandomState(cfg.seed)
@@ -175,10 +190,20 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
     gail_tar_length = (expert_feats.shape[0] * 1.0 / cfg.gail_traj_num
                        * cfg.gail_downsample_frequency)
 
-    disc_model, disc_tx, disc_state = gail.create(
-        k_d, info_length, cfg.num_processes,
-        GailConfig(hidden=cfg.gail_dis_hdim, batch_size=cfg.gail_batch_size,
-                   epochs=cfg.gail_epoch))
+    gcfg0 = GailConfig(hidden=cfg.gail_dis_hdim, batch_size=cfg.gail_batch_size,
+                       epochs=cfg.gail_epoch)
+    if cfg.d_ensemble > 1:
+        # per-member expert bootstrap (with replacement): each D sees a
+        # different draw of the same expert data — diversity-in-data for the
+        # identification reward (see config.py d_ensemble)
+        M = expert_feats.shape[0]
+        boot = rng.randint(0, M, size=(cfg.d_ensemble, M))
+        expert_feats = expert_feats[jnp.asarray(boot)]        # (K, M, F)
+        disc_model, disc_tx, disc_state = gail.create_ensemble(
+            k_d, info_length, cfg.num_processes, gcfg0, cfg.d_ensemble)
+    else:
+        disc_model, disc_tx, disc_state = gail.create(
+            k_d, info_length, cfg.num_processes, gcfg0)
 
     tx = make_lr_optimizer(cfg)
     opt_state = tx.init(params)
@@ -207,10 +232,15 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
         if (j % cfg.save_interval == 0 or j == cfg.num_updates - 1) and cfg.save_dir:
             checkpoints.save_policy(save_path, cfg.env_name, model, train_state.params)
             checkpoints.save_policy(save_path, cfg.env_name, model, train_state.params, iter_num=j)
+            d_params = train_state.disc.params
+            if cfg.d_ensemble > 1:
+                # keep the _D checkpoint format single-member (member 0) so
+                # collect's D-score diagnostics stay loadable
+                d_params = jax.tree.map(lambda x: x[0], d_params)
             checkpoints.save_policy(save_path, cfg.env_name, disc_model,
-                                    train_state.disc.params, disc=True)
+                                    d_params, disc=True)
             checkpoints.save_policy(save_path, cfg.env_name, disc_model,
-                                    train_state.disc.params, iter_num=j, disc=True)
+                                    d_params, iter_num=j, disc=True)
 
         if j % cfg.log_interval == 0:
             s = jax.device_get(stats)

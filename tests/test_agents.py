@@ -141,6 +141,46 @@ def test_gail_discriminator_separates():
     assert float(rewards[:, 0].mean()) > 0 > float(rewards[:, 1].mean())
 
 
+def test_gail_d_ensemble():
+    """--d-ensemble framework extension: K members separate like a single D,
+    the combined reward is the member mean, and the K=1 ensemble path matches
+    the reference single-D path exactly (same params -> same rewards)."""
+    cfg = GailConfig(hidden=32, batch_size=64, epochs=3)
+    K = 3
+    model, tx, state = gail.create_ensemble(
+        jax.random.PRNGKey(0), feat_dim=4, num_envs=2, cfg=cfg, n_members=K)
+    assert jax.tree.leaves(state.params)[0].shape[0] == K
+
+    rng = np.random.RandomState(0)
+    expert = jnp.asarray(rng.randn(K, 256, 4) + 2.0, dtype=jnp.float32)
+    policy = jnp.asarray(rng.randn(256, 4) - 2.0, dtype=jnp.float32)
+    for i in range(5):
+        state, stats = gail.update_ensemble(model, tx, state, expert, policy,
+                                            jax.random.PRNGKey(i), cfg)
+    assert stats["gail_loss"].shape == ()
+
+    feats = jnp.stack([expert[0, :8], policy[:8]], axis=1)   # (8, 2, 4)
+    masks = jnp.ones((8, 2))
+    state, rewards, returns = gail.predict_reward_ensemble(
+        model, state, feats, masks, 0.99, 0.0)
+    assert float(rewards[:, 0].mean()) > 0 > float(rewards[:, 1].mean())
+    # the running-return carry is identical across member slots
+    np.testing.assert_array_equal(np.asarray(state.returns),
+                                  np.tile(np.asarray(state.returns[0]), (K, 1)))
+
+    # K=1 equivalence: ensemble predict == single predict on the same params
+    m1, tx1, s1 = gail.create(jax.random.PRNGKey(7), 4, 2, cfg)
+    se = gail.DiscriminatorState(
+        params=jax.tree.map(lambda x: x[None], s1.params),
+        opt_state=jax.tree.map(lambda x: x[None] if hasattr(x, "ndim") else x,
+                               s1.opt_state),
+        returns=s1.returns[None])
+    _, r_single, _ = gail.predict_reward(m1, s1, feats, masks, 0.99, 0.5)
+    _, r_ens, _ = gail.predict_reward_ensemble(m1, se, feats, masks, 0.99, 0.5)
+    np.testing.assert_allclose(np.asarray(r_single), np.asarray(r_ens),
+                               rtol=1e-6)
+
+
 def test_running_mean_std():
     rms = RunningMeanStd.create()
     rng = np.random.RandomState(0)
