@@ -1,88 +1,3 @@
-"""LaikagoCombinedEnv-v1: the quadruped hybrid simulator.
-
-Reference: my_pybullet_envs/laikago_env_combined_policy.py.  Env action in
-``train_dyn`` mode is 28-D = 4 feet x 4 contact coefficients + 12 battery
-levels (reference:233-270, 365-386); the dynamics policy observes the 52-D
-with-velocity robot obs ++ the 12-D behavior action (64-D, reference:436-440)
-while the frozen behavior policy sees the 111-D frame-stacked obs.
-"""
-
-from __future__ import annotations
-
-import dataclasses
-
-import jax
-import jax.numpy as jnp
-from flax import struct
-
-from simgan_tpu.agents import networks
-from simgan_tpu.core.system import DomainParams, PhysState
-from simgan_tpu.envs import base
-from simgan_tpu.envs.base import SasWindow, Step
-from simgan_tpu.envs.hopper_combined import contact_coeff_and_battery
-from simgan_tpu.envs.laikago_env import (ACT_DIM, CTRL_LL, CTRL_UL, INIT_Q,
-                                         OBS_DIM, Q_PEN_WEIGHTS, ROBOT_OBS_DIM,
-                                         ROBOT_OBS_DIM_WVEL, TARGET_RPY,
-                                         LaikagoConfig, LaikagoEnv,
-                                         base_com_and_vel)
-from simgan_tpu.models import laikago as laika_model
-from simgan_tpu.physics.engine import PhysicsConfig, control_step
-
-DYN_ACT_DIM = 16 + 12      # 4 feet x 4 contact + 12 battery
-DYN_OBS_DIM = ROBOT_OBS_DIM_WVEL + ACT_DIM  # 64
-
-
-@dataclasses.dataclass(frozen=True)
-class LaikagoCombinedConfig:
-    """Mirrors LaikagoCombinedEnv.__init__ (reference:35-62)."""
-
-    init_noise: bool = True
-    act_noise: bool = False
-    obs_noise: bool = False
-    control_skip: int = 10
-    max_tar_vel: float = 2.5
-    energy_weight: float = 0.1
-    jl_weight: float = 0.5
-    ab: float = 5.0
-    q_pen_weight: float = 0.4
-    acc_pen_weight: float = 0.03
-    vel_r_weight: float = 4.0
-    train_dyn: bool = True
-    pretrain_dyn: bool = False
-    behavior_logstd: float | None = None
-    task_y: bool = False
-    max_episode_steps: int = base.MAX_EPISODE_STEPS
-    solver: str = "pgs"           # contact solver: 'pgs' | 'staged' | 'pgs_pallas'
-    solver_iterations: int = 5    # PGS sweeps (Bullet numSolverIterations analog)
-    solver_warm_start: bool = True
-    # run the M_eff⁻¹ chain as one Mosaic kernel (ops/spd_pallas.py)
-    spd_pallas: bool = False
-    # Pessimistic (MOPO-style) refinement: subtract lambda * ensemble
-    # disagreement (mean std across members' deterministic env actions) from
-    # the refine-stage reward.  0.0 = reference semantics (no penalty).
-    # Framework extension beyond the reference; see RESULTS.md seed study.
-    pessimism_lambda: float = 0.0
-    # Framework extension (off = reference semantics): unpin contact
-    # stiffness as a 5th pi_dyn contact dim per foot (act_dim 28 -> 32) so
-    # position-level sinks like the deform mattress (k=60000, d=150,
-    # erp 0.444) are inside the dynamics-GAN family; the reference pins
-    # stiffness at 1 (laikago_env_combined_policy.py:365-386).  See
-    # hopper_combined.contact_coeff_and_battery for the ranges.
-    dyn_stiffness: bool = False
-
-
-@struct.dataclass
-class LaikagoCombinedState:
-    phys: PhysState
-    dp: DomainParams
-    past_obs: jax.Array       # (10, 37)
-    past_bact: jax.Array      # (10, 12)
-    obs: jax.Array
-    timer: jax.Array
-    step_count: jax.Array
-    key: jax.Array
-
-
 class LaikagoCombinedEnv:
     act_dim_robot = ACT_DIM
     robot_obs_dim = ROBOT_OBS_DIM

@@ -150,6 +150,19 @@ def main():
         fn, carry, _ = env_step_variant({"solver_iterations": it})
         add(f"solver_iter{it}", fn, carry)
 
+    # PROF_SPD=1: the M_eff^-1 Mosaic kernel (ops/spd_pallas.py) A/B, alone
+    # and combined with the PGS kernel / with the solve DCE'd (to read the
+    # kernel's effect on the non-contact base directly)
+    if os.environ.get("PROF_SPD", ""):
+        fn, carry, _ = env_step_variant({"spd_pallas": True})
+        add("spd_pallas", fn, carry)
+        fn, carry, _ = env_step_variant({"spd_pallas": True,
+                                         "solver_iterations": 0})
+        add("spd_pallas_iter0", fn, carry)
+        fn, carry, _ = env_step_variant({"spd_pallas": True,
+                                         "solver": "pgs_pallas"})
+        add("spd+pgs_pallas", fn, carry)
+
     fn, carry = physics_only(env)
     add("physics_only", fn, carry)
 

@@ -87,6 +87,8 @@ class HopperCombinedConfig:
     solver: str = "pgs"           # contact solver: 'pgs' | 'staged' | 'pgs_pallas'
     solver_iterations: int = 5    # PGS sweeps (Bullet numSolverIterations analog)
     solver_warm_start: bool = True
+    # run the M_eff⁻¹ chain as one Mosaic kernel (ops/spd_pallas.py)
+    spd_pallas: bool = False
     # Pessimistic (MOPO-style) refinement: subtract lambda * ensemble
     # disagreement (mean std across members' deterministic env actions) from
     # the refine-stage reward.  0.0 = reference semantics (no penalty).
@@ -136,6 +138,7 @@ class HopperCombinedEnv:
 
         self.phys_cfg = PhysicsConfig(
             base_pos=hopper_model.BASE_INIT_POS,
+            spd_pallas=config.spd_pallas,
             contact=ContactConfig(
                 solver=config.solver, iterations=config.solver_iterations,
                 warm_start=config.solver_warm_start))

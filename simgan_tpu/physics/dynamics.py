@@ -57,6 +57,7 @@ def compute_dynamics(
     damping_diag: jax.Array | None = None,
     dt: float = 0.0,
     explicit_cholesky: bool = False,
+    spd_pallas: bool = False,
 ) -> Dyn:
     """Assemble M, bias and M⁻¹ for one robot state.
 
@@ -70,13 +71,13 @@ def compute_dynamics(
     with jax.default_matmul_precision("highest"):
         return _compute_dynamics_f32(
             sys, dp, q, qd, gravity, base_pos, base_quat, damping_diag, dt,
-            explicit_cholesky,
+            explicit_cholesky, spd_pallas,
         )
 
 
 def _compute_dynamics_f32(
     sys, dp, q, qd, gravity, base_pos, base_quat, damping_diag=None, dt=0.0,
-    explicit_cholesky=False,
+    explicit_cholesky=False, spd_pallas=False,
 ) -> Dyn:
     nv = sys.nv
 
@@ -118,7 +119,11 @@ def _compute_dynamics_f32(
     # contact impulse response, keeping the two consistent.
     # eye-mask instead of jnp.diag (diag lowers poorly in Mosaic)
     M_eff = M if damping_diag is None else M + dt * (jnp.eye(nv) * damping_diag)
-    if explicit_cholesky:
+    if spd_pallas:
+        from simgan_tpu.ops.spd_pallas import make_spd_inverse
+
+        m_inv = make_spd_inverse(nv)(M_eff)
+    elif explicit_cholesky:
         from simgan_tpu.physics.linalg import spd_inverse
 
         m_inv = spd_inverse(M_eff)

@@ -33,6 +33,11 @@ class PhysicsConfig(NamedTuple):
     # dominates the substep at these tiny (6..18) sizes.  Also required
     # inside Pallas kernels (no custom calls in Mosaic).
     explicit_cholesky: bool = True
+    # Run the M_eff⁻¹ chain (factor + 2 triangular solves, ~500 chained
+    # vector ops) as ONE Mosaic kernel per batch tile (ops/spd_pallas.py)
+    # instead of XLA fusions — the partial-fusion answer to the blocked
+    # whole-substep kernel.  Same math/op order as linalg.spd_inverse.
+    spd_pallas: bool = False
 
 
 def substep(
@@ -60,7 +65,7 @@ def substep(
     dyn = compute_dynamics(
         sys, dp, state.q, state.qd, gravity=cfg.gravity, base_pos=base_pos,
         damping_diag=damp_diag, dt=cfg.dt,
-        explicit_cholesky=cfg.explicit_cholesky,
+        explicit_cholesky=cfg.explicit_cholesky, spd_pallas=cfg.spd_pallas,
     )
     if ext_forces is not None:
         from simgan_tpu.physics.kinematics import geom_world
