@@ -136,7 +136,10 @@ def ppo_update(
     adv = (adv - adv.mean()) / (adv.std() + 1e-5)
     batch = batch._replace(advantages=adv)
 
-    mb_size = n // cfg.num_mini_batch
+    # trace-time clamp: a rollout smaller than num_mini_batch (tiny smoke
+    # shapes) would give mb_size 0 -> empty minibatches -> nan stats
+    n_mb = min(cfg.num_mini_batch, n)
+    mb_size = n // n_mb
     grad_fn = jax.grad(_loss_fn, has_aux=True)
 
     def epoch_body(carry, key_e):
@@ -151,7 +154,7 @@ def ppo_update(
             params = optax.apply_updates(params, updates)
             return (params, opt_state), jnp.stack(list(aux))
 
-        idxs = perm[: mb_size * cfg.num_mini_batch].reshape(cfg.num_mini_batch, mb_size)
+        idxs = perm[: mb_size * n_mb].reshape(n_mb, mb_size)
         (params, opt_state), stats = jax.lax.scan(mb_body, (params, opt_state), idxs)
         return (params, opt_state), stats
 

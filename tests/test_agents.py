@@ -121,6 +121,27 @@ def test_ppo_learns_simple_target():
     assert float(mean[0, 0]) > 0.3, float(mean[0, 0])
 
 
+def test_ppo_tiny_batch_finite_stats():
+    """A rollout smaller than num_mini_batch (smoke shapes) must clamp the
+    minibatch count rather than produce empty minibatches -> nan stats."""
+    m = MLPPolicy(action_dim=1, hidden=16)
+    params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 2)))
+    cfg = PPOConfig(ppo_epoch=2, num_mini_batch=32, lr=1e-3)  # n=16 < 32
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    obs = jnp.asarray(np.random.RandomState(0).randn(16, 2), dtype=jnp.float32)
+    _, mean, logstd = m.apply(params, obs)
+    actions = networks.normal_sample(jax.random.PRNGKey(1), mean, logstd)
+    logp = networks.normal_log_prob(mean, logstd, actions)
+    batch = Batch(obs=obs, actions=actions,
+                  value_preds=jnp.zeros(16), returns=jnp.ones(16),
+                  old_log_probs=logp, advantages=jnp.ones(16))
+    _, _, stats = ppo_update(m, params, opt_state, tx, batch,
+                             jax.random.PRNGKey(2), cfg)
+    for k, v in stats.items():
+        assert np.isfinite(float(v)), (k, v)
+
+
 def test_gail_discriminator_separates():
     cfg = GailConfig(hidden=32, batch_size=64, epochs=5)
     model, tx, state = gail.create(jax.random.PRNGKey(0), feat_dim=4, num_envs=2, cfg=cfg)
