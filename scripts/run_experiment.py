@@ -77,7 +77,8 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         traj_suffix: str = "", seed_offset: int = 0,
         gdyn_tag: str = "", refine_steps: int | None = None,
         pessimism: float = 0.0, cross_ensemble: str = "",
-        dyn_stiffness: bool = False, d_ensemble: int = 1):
+        dyn_stiffness: bool = False, d_ensemble: int = 1,
+        battery_prior: bool = False):
     """lanes/steps/solver: rollout shape and contact solver for the identify
     and refine stages.  lanes*steps is held at the reference's 16k
     steps-per-update (same PPO batch, same update count); the round-2 shape
@@ -117,7 +118,8 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         gdyn_dir=os.path.basename(gdyn_dir),
         refine_steps=refine_steps, pessimism=pessimism,
         cross_ensemble=cross_ensemble, dyn_stiffness=dyn_stiffness,
-        d_ensemble=d_ensemble)
+        d_ensemble=d_ensemble, battery_prior=battery_prior,
+        overrides_id=overrides_id or {})
 
     assert lanes * steps == 16000, (lanes, steps)
     save_interval = 10 if robot == "Hopper" else 25
@@ -195,6 +197,9 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
             # framework extension: unpin contact stiffness as a 5th pi_dyn
             # contact dim (position-level sinks become representable)
             id_kwargs["dyn_stiffness"] = True
+        if battery_prior:
+            # framework extension: derate-only battery squash [0, 1]
+            id_kwargs["battery_prior"] = True
         id_kwargs.update(id_env_extra_kwargs or {})
         train_simgan.train(id_cfg, id_kwargs, env_extra)
         _mark("identify", t0)
@@ -229,6 +234,10 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         refine_kwargs = dict(REFINE_ENV_KWARGS, solver=solver)
         if dyn_stiffness:
             refine_kwargs["dyn_stiffness"] = True
+        if battery_prior:
+            # the ensemble was identified under the [0, 1] battery squash;
+            # the hybrid env must interpret its battery dims the same way
+            refine_kwargs["battery_prior"] = True
         if pessimism:
             # MOPO-style pessimistic refinement (framework extension, off by
             # default): penalize the hybrid-sim reward by ensemble
@@ -295,6 +304,15 @@ def main(argv=None):
                         "[1,1e5]; damping widens to [2,297]) so position-"
                         "level sinks like the deform mattress are inside "
                         "the dynamics-GAN family (0 = reference semantics)")
+    p.add_argument("--battery-prior", type=int, default=0,
+                   help="framework extension: squash pi_dyn's battery dims "
+                        "to [0,1] (derate-only prior) instead of the "
+                        "reference's [-0.5,1.5] (0 = reference semantics)")
+    p.add_argument("--id-override", default="",
+                   help="comma-separated key=value TrainConfig overrides for "
+                        "the identify stage (e.g. "
+                        "gail_downsample_frequency=5); values parsed as "
+                        "int/float when possible")
     p.add_argument("--d-ensemble", type=int, default=1,
                    help="framework extension: K discriminators on per-member "
                         "expert bootstraps, reward = mean of member rewards "
@@ -305,6 +323,20 @@ def main(argv=None):
                         "independent identify run (bagging-style diversity) "
                         "instead of five iterations of one run")
     args = p.parse_args(argv)
+
+    def _parse_val(v: str):
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
+        return v
+
+    overrides_id = {}
+    if args.id_override:
+        for kv in args.id_override.split(","):
+            k, v = kv.split("=", 1)
+            overrides_id[k] = _parse_val(v)
     run(args.experiment, args.stages.split(","), tag=args.tag,
         s_idx=tuple(int(x) for x in args.s_idx.split(",")),
         a_idx=tuple(int(x) for x in args.a_idx.split(",")),
@@ -313,7 +345,8 @@ def main(argv=None):
         traj_suffix=args.traj_suffix, seed_offset=args.seed_offset,
         gdyn_tag=args.gdyn_tag, refine_steps=args.refine_steps,
         pessimism=args.pessimism, cross_ensemble=args.cross_ensemble,
-        dyn_stiffness=bool(args.dyn_stiffness), d_ensemble=args.d_ensemble)
+        dyn_stiffness=bool(args.dyn_stiffness), d_ensemble=args.d_ensemble,
+        battery_prior=bool(args.battery_prior), overrides_id=overrides_id)
 
 
 if __name__ == "__main__":

@@ -38,7 +38,8 @@ DYN_ACT_DIM = 7  # 4 contact + 3 battery
 
 
 def contact_coeff_and_battery(env_action: jax.Array, num_feet: int = 1,
-                              stiffness: bool = False):
+                              stiffness: bool = False,
+                              battery01: bool = False):
     """tanh squash -> physical ranges (reference:270-287 and laikago:365-386).
 
     Returns (lateral (F,), spin (F,), restitution (F,), damping (F,),
@@ -55,6 +56,13 @@ def contact_coeff_and_battery(env_action: jax.Array, num_feet: int = 1,
     [2, 297], so position-level sinks — e.g. the deform mattress's exact
     (k=60000, d=150) => erp 0.444 / cfm 1/270 pair — are inside pi_dyn's
     family.  Layout: (F, 5) contact block, then 3F battery dims.
+
+    ``battery01=True`` is the ``battery_prior`` framework extension: battery
+    squashes to [0, 1] instead of the reference's tanh+0.5 in [-0.5, 1.5]
+    (laikago_env_combined_policy.py:383-386).  Physical derates (low-power
+    caps, back-EMF) can only *reduce* torque; the reference window admits
+    torque amplification (>1) and sign flips (<0) the true target forbids,
+    which is exploitable head-room for identification.
     """
     t = jnp.tanh(env_action)
     ncon = 5 if stiffness else 4
@@ -68,7 +76,10 @@ def contact_coeff_and_battery(env_action: jax.Array, num_feet: int = 1,
     else:
         damp = jnp.exp((con[:, 3] + 1.0) / 2.0 * 2.0 + 1.0) * 2.0
         stiff = None
-    battery = t[ncon * num_feet:] + 0.5
+    if battery01:
+        battery = (t[ncon * num_feet:] + 1.0) / 2.0
+    else:
+        battery = t[ncon * num_feet:] + 0.5
     return lateral, spin, resti, damp, stiff, battery
 
 
@@ -101,6 +112,10 @@ class HopperCombinedConfig:
     # value through (Bullet uses the foot's value directly when the plane
     # has none set).  See contact_coeff_and_battery.
     dyn_stiffness: bool = False
+    # Framework extension (off = reference semantics): squash pi_dyn's
+    # battery dims to [0, 1] instead of [-0.5, 1.5] — a "derate-only" prior
+    # for power-style targets (see contact_coeff_and_battery).
+    battery_prior: bool = False
 
 
 @struct.dataclass
@@ -194,7 +209,8 @@ class HopperCombinedEnv:
         """Write pi_dyn's contact coefficients onto the foot geoms; return
         battery levels (set_con_coeff_and_return_battery_level)."""
         lateral, spin, resti, damp, stiff, battery = contact_coeff_and_battery(
-            env_action, 1, stiffness=self.cfg.dyn_stiffness)
+            env_action, 1, stiffness=self.cfg.dyn_stiffness,
+            battery01=self.cfg.battery_prior)
         idx = jnp.asarray(hopper_model.FOOT_GEOMS)
         dp = dp.replace(
             lateral_friction=dp.lateral_friction.at[idx].set(lateral[0]),

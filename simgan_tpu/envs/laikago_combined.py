@@ -69,6 +69,10 @@ class LaikagoCombinedConfig:
     # stiffness at 1 (laikago_env_combined_policy.py:365-386).  See
     # hopper_combined.contact_coeff_and_battery for the ranges.
     dyn_stiffness: bool = False
+    # Framework extension (off = reference semantics): squash pi_dyn's
+    # battery dims to [0, 1] instead of [-0.5, 1.5] — a "derate-only" prior
+    # for power-style targets (see hopper_combined.contact_coeff_and_battery).
+    battery_prior: bool = False
 
 
 @struct.dataclass
@@ -157,7 +161,8 @@ class LaikagoCombinedEnv:
 
     def _apply_env_action(self, dp: DomainParams, env_action):
         lateral, spin, resti, damp, stiff, battery = contact_coeff_and_battery(
-            env_action, 4, stiffness=self.cfg.dyn_stiffness)
+            env_action, 4, stiffness=self.cfg.dyn_stiffness,
+            battery01=self.cfg.battery_prior)
         toe = jnp.asarray(laika_model.TOE_GEOMS)
         dp = dp.replace(
             lateral_friction=dp.lateral_friction.at[toe].set(lateral),

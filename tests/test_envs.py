@@ -190,6 +190,22 @@ def test_contact_coeff_mapping_dyn_stiffness():
     np.testing.assert_allclose(stiff, [60000.0], rtol=1e-4)
 
 
+def test_contact_coeff_mapping_battery_prior():
+    """battery_prior extension: battery squashes to [0, 1] (derate-only)
+    instead of the reference's [-0.5, 1.5]; contact dims unchanged."""
+    big = jnp.full(7, 10.0)
+    lat, spin, resti, damp, stiff, batt = contact_coeff_and_battery(
+        big, 1, battery01=True)
+    np.testing.assert_allclose(batt, [1.0] * 3, atol=1e-3)
+    np.testing.assert_allclose(lat, [5.0], atol=1e-3)   # contact unchanged
+    small = jnp.full(7, -10.0)
+    _, _, _, _, _, batt = contact_coeff_and_battery(small, 1, battery01=True)
+    np.testing.assert_allclose(batt, [0.0] * 3, atol=1e-3)
+    zero = jnp.zeros(7)
+    _, _, _, _, _, batt = contact_coeff_and_battery(zero, 1, battery01=True)
+    np.testing.assert_allclose(batt, [0.5] * 3, atol=1e-6)  # same center
+
+
 # ---------------------------------------------------------------------------
 # determinism / auto-reset / registry
 # ---------------------------------------------------------------------------
