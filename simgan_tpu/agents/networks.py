@@ -194,6 +194,40 @@ class CategoricalPolicy(nn.Module):
         return value[..., 0], logits
 
 
+class CNNPolicy(nn.Module):
+    """Pixel actor-critic: Nature-CNN base + categorical head.
+
+    Reference CNNBase (third_party/a2c_ppo_acktr/model.py:204-230): /255
+    input, conv 32@8s4 / 64@4s2 / 32@3s1 + ReLU, 512-wide FC, orthogonal
+    init with ReLU gain, critic head orthogonal(1).  Unused by the six
+    SimGAN experiments but part of the Policy surface for image obs.
+    TPU-native notes: NHWC layout (XLA's preferred conv layout) instead of
+    torch's NCHW; the shared trunk feeds both heads as in the reference.
+    """
+
+    num_actions: int
+    hidden: int = 512
+
+    @nn.compact
+    def __call__(self, obs):
+        # obs: (..., H, W, C) uint8 or float pixels
+        relu_gain = math.sqrt(2.0)
+        x = obs.astype(jnp.float32) / 255.0
+        for features, kernel, stride in ((32, 8, 4), (64, 4, 2), (32, 3, 1)):
+            x = nn.relu(nn.Conv(features, (kernel, kernel), (stride, stride),
+                                padding="VALID", kernel_init=_ortho(relu_gain),
+                                bias_init=nn.initializers.zeros)(x))
+        x = x.reshape(*x.shape[:-3], -1)
+        x = nn.relu(nn.Dense(self.hidden, kernel_init=_ortho(relu_gain),
+                             bias_init=nn.initializers.zeros)(x))
+        value = nn.Dense(1, kernel_init=_ortho(1.0),
+                         bias_init=nn.initializers.zeros,
+                         name="critic_linear")(x)
+        logits = nn.Dense(self.num_actions, kernel_init=_ortho(0.01),
+                          bias_init=nn.initializers.zeros, name="linear")(x)
+        return value[..., 0], logits
+
+
 def policy_act(model: nn.Module, params: Params, obs, key=None, deterministic=False):
     """(value, action, log_prob) — reference Policy.act (model.py:89-101)."""
     value, mean, logstd = model.apply(params, obs)

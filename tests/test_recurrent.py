@@ -87,6 +87,28 @@ def test_categorical_policy():
     assert np.all(np.asarray(ent) > 0)
 
 
+def test_cnn_policy():
+    """Nature-CNN base (reference model.py:204-230): 84x84 pixels -> the
+    canonical 7x7x32 pre-FC feature map, finite value/logits, and a PPO-style
+    gradient step moves the conv params."""
+    m = networks.CNNPolicy(num_actions=6, hidden=512)
+    obs = jnp.asarray(np.random.RandomState(0).randint(0, 255, (2, 84, 84, 4)),
+                      dtype=jnp.uint8)
+    p = m.init(jax.random.PRNGKey(0), obs)
+    # 84x84 through 8s4/4s2/3s1 VALID convs is 7x7 (the reference's 32*7*7 FC)
+    assert p["params"]["Dense_0"]["kernel"].shape[0] == 32 * 7 * 7
+    v, logits = m.apply(p, obs)
+    assert v.shape == (2,) and logits.shape == (2, 6)
+    assert np.all(np.isfinite(np.asarray(logits)))
+
+    def loss(params):
+        v, lg = m.apply(params, obs)
+        return jnp.mean(v**2) - jnp.mean(networks.categorical_entropy(lg))
+
+    g = jax.grad(loss)(p)
+    assert any(float(jnp.max(jnp.abs(x))) > 0 for x in jax.tree.leaves(g))
+
+
 def test_bernoulli_heads():
     logits = jnp.asarray(np.random.RandomState(0).randn(4, 3), dtype=jnp.float32)
     acts = jnp.asarray((np.random.RandomState(1).rand(4, 3) > 0.5).astype(np.float32))

@@ -31,6 +31,53 @@ def test_smooth_preserves_constant():
     np.testing.assert_allclose(smooth(y, radius=5), y)
 
 
+def test_one_sided_ema_matches_direct_sum():
+    """The bucket+recursion implementation is algebraically identical to the
+    direct decayed sum ys[i] = sum_{x_j<=x_i} y_j e^{-(x_i-x_j)/T} / counts."""
+    from simgan_tpu.utils.monitor import one_sided_ema
+    rng = np.random.RandomState(0)
+    x = np.sort(rng.uniform(0, 100, 200))
+    y = rng.randn(200)
+    n, decay_steps = 64, 3.0
+    xs, ys, cnt = one_sided_ema(x, y, n=n, decay_steps=decay_steps)
+    T = (x[-1] - x[0]) / (n - 1) * decay_steps
+    for i in [0, 1, 17, 40, 63]:
+        m = x <= xs[i] + 1e-12
+        w = np.exp(-(xs[i] - x[m]) / T)
+        np.testing.assert_allclose(ys[i], np.sum(w * y[m]) / np.sum(w),
+                                   rtol=1e-9)
+        np.testing.assert_allclose(cnt[i], np.sum(w), rtol=1e-9)
+
+
+def test_symmetric_ema_constant_and_linear():
+    from simgan_tpu.utils.monitor import symmetric_ema
+    x = np.linspace(0, 10, 300)
+    xs, ys, _ = symmetric_ema(x, np.full_like(x, 2.5), n=50)
+    np.testing.assert_allclose(ys, 2.5)
+    # linear data resamples to linear away from the edges
+    xs, ys, _ = symmetric_ema(x, 3.0 * x, n=50, decay_steps=1.0)
+    mid = slice(5, 45)
+    np.testing.assert_allclose(ys[mid], 3.0 * xs[mid], rtol=2e-2)
+
+
+def test_plot_results_grid(tmp_path):
+    from simgan_tpu.utils.monitor import load_results, plot_results
+    for run in ("a/seed0", "a/seed1", "b/seed0"):
+        d = tmp_path / run
+        d.mkdir(parents=True)
+        w = MonitorWriter(str(d), env_id=run)
+        w.record_batch(np.linspace(0, 50, 40) + len(run), np.full(40, 100))
+        w.close()
+    results = load_results(str(tmp_path))
+    assert len(results) == 3 and all("monitor" in r for r in results)
+    out = plot_results(
+        results, str(tmp_path / "grid.png"),
+        split_fn=lambda r: os.path.basename(os.path.dirname(r["dirname"])),
+        group_fn=lambda r: os.path.basename(os.path.dirname(r["dirname"])),
+        average_group=True, resample=32)
+    assert os.path.getsize(out) > 0
+
+
 def test_plot_curves_writes_png(tmp_path):
     w = MonitorWriter(str(tmp_path), env_id="X")
     w.record_batch(np.linspace(0, 100, 30), np.full(30, 500))
