@@ -78,7 +78,8 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         gdyn_tag: str = "", refine_steps: int | None = None,
         pessimism: float = 0.0, cross_ensemble: str = "",
         dyn_stiffness: bool = False, d_ensemble: int = 1,
-        battery_prior: bool = False):
+        battery_prior: bool = False,
+        target_overrides: dict | None = None):
     """lanes/steps/solver: rollout shape and contact solver for the identify
     and refine stages.  lanes*steps is held at the reference's 16k
     steps-per-update (same PPO batch, same update count); the round-2 shape
@@ -119,7 +120,8 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         refine_steps=refine_steps, pessimism=pessimism,
         cross_ensemble=cross_ensemble, dyn_stiffness=dyn_stiffness,
         d_ensemble=d_ensemble, battery_prior=battery_prior,
-        overrides_id=overrides_id or {})
+        overrides_id=overrides_id or {},
+        target_overrides={k: v for k, v in (target_overrides or {}).items()})
 
     assert lanes * steps == 16000, (lanes, steps)
     save_interval = 10 if robot == "Hopper" else 25
@@ -148,6 +150,7 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
                                    if refine_steps else {}),
                                 **(overrides_refine or {})})
     target_kwargs = dict(exp["collect_env_kwargs"])
+    target_kwargs.update(target_overrides or {})
 
     def _mark(stage, t0, **kw):
         results[stage + "_wall_s"] = round(time.time() - t0, 1)
@@ -313,6 +316,11 @@ def main(argv=None):
                         "the identify stage (e.g. "
                         "gail_downsample_frequency=5); values parsed as "
                         "int/float when possible")
+    p.add_argument("--target-override", default="",
+                   help="comma-separated key=value TARGET-env config "
+                        "overrides applied to the collect/original/test "
+                        "stages (e.g. deform_nodes=1 for the 8-vertex "
+                        "mass-spring mattress)")
     p.add_argument("--d-ensemble", type=int, default=1,
                    help="framework extension: K discriminators on per-member "
                         "expert bootstraps, reward = mean of member rewards "
@@ -337,6 +345,11 @@ def main(argv=None):
         for kv in args.id_override.split(","):
             k, v = kv.split("=", 1)
             overrides_id[k] = _parse_val(v)
+    target_overrides = {}
+    if args.target_override:
+        for kv in args.target_override.split(","):
+            k, v = kv.split("=", 1)
+            target_overrides[k] = _parse_val(v)
     run(args.experiment, args.stages.split(","), tag=args.tag,
         s_idx=tuple(int(x) for x in args.s_idx.split(",")),
         a_idx=tuple(int(x) for x in args.a_idx.split(",")),
@@ -346,7 +359,8 @@ def main(argv=None):
         gdyn_tag=args.gdyn_tag, refine_steps=args.refine_steps,
         pessimism=args.pessimism, cross_ensemble=args.cross_ensemble,
         dyn_stiffness=bool(args.dyn_stiffness), d_ensemble=args.d_ensemble,
-        battery_prior=bool(args.battery_prior), overrides_id=overrides_id)
+        battery_prior=bool(args.battery_prior), overrides_id=overrides_id,
+        target_overrides=target_overrides)
 
 
 if __name__ == "__main__":

@@ -181,6 +181,12 @@ class PhysState:
 
     q: jax.Array    # (nq,) [pos3, quat4(wxyz), joints...] for floating base, else joints
     qd: jax.Array   # (nv,) [v_world3, omega_world3, joint rates...] / joints
+    # deform_nodes mattress field (physics/deformable.py): top-vertex
+    # deflections/velocities (4,), or None when the field is disabled
+    # (None pytree leaves flatten to nothing, so existing states/checkpoints
+    # are unaffected)
+    field_u: jax.Array | None = None
+    field_v: jax.Array | None = None
 
     @classmethod
     def zero(cls, sys: System) -> "PhysState":

@@ -46,6 +46,11 @@ class HopperConfig:
     # basePosition [7,0,.], scale 20 => x in [-3,17]; hopper_env_v3.py:143-145).
     # Off = round-2 behavior (infinite soft half-space).
     finite_mattress: bool = True
+    # model the mattress as the reference's actual 8-vertex mass-spring cube
+    # (4 movable top vertices with inertia + memory, contacts couple through
+    # barycentric face weights; physics/deformable.py) instead of the
+    # calibrated half-space surrogate.  Off = surrogate (rows of record).
+    deform_nodes: bool = False
     randomization_train: bool = False
     randomization_train_addi: bool = False
     acc_pen_weight: float = 0.05
@@ -81,12 +86,19 @@ class HopperEnv:
         self.sys = hopper_model.make_hopper(heavy_head=config.heavy_head_env)
         from simgan_tpu.physics.contact import ContactConfig
 
+        deform = None
+        if config.deform_floor_env and config.deform_nodes:
+            from simgan_tpu.physics.deformable import DeformableConfig
+
+            # hopper_env_v3.py:143-149: k=1500, d=50, mass=20, cube scale 20
+            deform = DeformableConfig(k=1500.0, d=50.0, mass=20.0)
         self.phys_cfg = PhysicsConfig(
             base_pos=hopper_model.BASE_INIT_POS,
             contact=ContactConfig(combine="floor" if config.deform_floor_env else "bullet",
                                   solver=config.solver,
                                   iterations=config.solver_iterations,
                                   warm_start=config.solver_warm_start),
+            deform=deform,
         )
 
     # -- domain parameter setup (reset-time changeDynamics calls) ----------
@@ -112,11 +124,25 @@ class HopperEnv:
             # hopper_env_v3.py:134-149: plane at -10.1 + soft mattress
             # (cube_fat scale 20 at [7,0,-5.05] => top surface z=-0.05),
             # mass-spring stiffness 1500 / damping 50, friction 1.0.
-            dp = dp.replace(
-                floor_friction=jnp.asarray(1.0), floor_restitution=jnp.asarray(0.0),
-                floor_stiffness=jnp.asarray(1500.0), floor_damping=jnp.asarray(50.0),
-                floor_z=jnp.asarray(-0.05),
-            )
+            if cfg.deform_nodes:
+                # vertex field carries the compliance (k/d live in the field
+                # update); the foot<->surface row itself is near-rigid, like
+                # Bullet's deformable rigid-contact solve
+                from simgan_tpu.physics.contact import HARD_D, HARD_K
+
+                dp = dp.replace(
+                    floor_friction=jnp.asarray(1.0),
+                    floor_restitution=jnp.asarray(0.0),
+                    floor_stiffness=jnp.asarray(HARD_K),
+                    floor_damping=jnp.asarray(HARD_D),
+                    floor_z=jnp.asarray(-0.05),
+                )
+            else:
+                dp = dp.replace(
+                    floor_friction=jnp.asarray(1.0), floor_restitution=jnp.asarray(0.0),
+                    floor_stiffness=jnp.asarray(1500.0), floor_damping=jnp.asarray(50.0),
+                    floor_z=jnp.asarray(-0.05),
+                )
             if cfg.finite_mattress:
                 # backup plane at z=-10.10, lateralFriction 100
                 # (hopper_env_v3.py:134-139)
@@ -201,7 +227,13 @@ class HopperEnv:
         noise_dq = 0.1 if cfg.init_noise else 0.0
         q = base.perturb(keys[1], jnp.zeros(6), noise_q)
         qd = base.perturb(keys[2], jnp.zeros(6), noise_dq)
-        phys = PhysState(q=q, qd=qd)
+        if self.phys_cfg.deform is not None:
+            from simgan_tpu.physics import deformable
+
+            fu, fv = deformable.rest_state()
+            phys = PhysState(q=q, qd=qd, field_u=fu, field_v=fv)
+        else:
+            phys = PhysState(q=q, qd=qd)
 
         # reference does one stepSimulation during reset (hopper_env_v3.py:184)
         phys = control_step(self.sys, dp, phys, jnp.zeros(3), self.phys_cfg, 1)

@@ -61,6 +61,9 @@ class LaikagoConfig:
     # model the deform mattress's finite 20 m extent (x in [-3, 17],
     # laikago_env_v4.py:177-179).  Off = round-2 infinite half-space.
     finite_mattress: bool = True
+    # model the mattress as the reference's actual 8-vertex mass-spring cube
+    # (physics/deformable.py) instead of the half-space surrogate.
+    deform_nodes: bool = False
     randomforce_train: bool = False
     sysid_data_collection: bool = False
     final_test: bool = False
@@ -108,11 +111,18 @@ class LaikagoEnv:
     def __init__(self, config: LaikagoConfig = LaikagoConfig()):
         self.cfg = config
         self.sys = laika_model.make_laikago(heavy_leg=config.heavy_leg_env)
+        deform = None
+        if config.deform_floor_env and config.deform_nodes:
+            from simgan_tpu.physics.deformable import DeformableConfig
+
+            # laikago_env_v4.py:177-183: k=60000, d=150, mass=4000, scale 20
+            deform = DeformableConfig(k=60000.0, d=150.0, mass=4000.0)
         self.phys_cfg = PhysicsConfig(
             contact=ContactConfig(combine="floor" if config.deform_floor_env else "bullet",
                                   solver=config.solver,
                                   iterations=config.solver_iterations,
                                   warm_start=config.solver_warm_start),
+            deform=deform,
         )
 
     # -- domain parameters (reset-time changeDynamics) ----------------------
@@ -139,11 +149,24 @@ class LaikagoEnv:
         elif cfg.deform_floor_env:
             # laikago_env_v4.py:172-183: mattress top at z=0 (cube_fat scale 20
             # at [7,0,-5]), mass-spring stiffness 60000 / damping 150, fric 1.0
-            dp = dp.replace(
-                floor_friction=jnp.asarray(1.0), floor_restitution=jnp.asarray(0.0),
-                floor_stiffness=jnp.asarray(60000.0), floor_damping=jnp.asarray(150.0),
-                floor_z=jnp.asarray(0.0),
-            )
+            if cfg.deform_nodes:
+                # vertex field carries the compliance; the toe<->surface row
+                # is near-rigid like Bullet's deformable rigid-contact solve
+                from simgan_tpu.physics.contact import HARD_D, HARD_K
+
+                dp = dp.replace(
+                    floor_friction=jnp.asarray(1.0),
+                    floor_restitution=jnp.asarray(0.0),
+                    floor_stiffness=jnp.asarray(HARD_K),
+                    floor_damping=jnp.asarray(HARD_D),
+                    floor_z=jnp.asarray(0.0),
+                )
+            else:
+                dp = dp.replace(
+                    floor_friction=jnp.asarray(1.0), floor_restitution=jnp.asarray(0.0),
+                    floor_stiffness=jnp.asarray(60000.0), floor_damping=jnp.asarray(150.0),
+                    floor_z=jnp.asarray(0.0),
+                )
             if cfg.finite_mattress:
                 # backup plane at z=-10.02, friction left at the pybullet
                 # default 0.5 (laikago_env_v4.py:172-176)
@@ -259,7 +282,13 @@ class LaikagoEnv:
 
         q = jnp.concatenate([origin, quat, jq])
         qd = jnp.concatenate([v_origin, omega, jdq])
-        phys = PhysState(q=q, qd=qd)
+        if self.phys_cfg.deform is not None:
+            from simgan_tpu.physics import deformable
+
+            fu, fv = deformable.rest_state()
+            phys = PhysState(q=q, qd=qd, field_u=fu, field_v=fv)
+        else:
+            phys = PhysState(q=q, qd=qd)
 
         if not cfg.sysid_data_collection:
             # one stepSimulation during reset (laikago_env_v4.py:223-224)

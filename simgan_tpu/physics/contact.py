@@ -141,6 +141,8 @@ def contact_impulses(
     dt: float,
     cfg: ContactConfig,
     lam0: jax.Array | None = None,
+    floor_du: jax.Array | None = None,
+    floor_dv: jax.Array | None = None,
 ) -> jax.Array | tuple[jax.Array, jax.Array]:
     """Return the post-contact generalized velocity.
 
@@ -154,6 +156,12 @@ def contact_impulses(
     across steps).  When given, returns ``(qd_new, lam)`` so the caller can
     thread the impulses through a substep scan; when None, returns just
     ``qd_new`` (cold start from zeros).
+
+    ``floor_du``/``floor_dv``: optional (G,) per-geom mattress-surface
+    deflection offset and vertical surface velocity (the deform_nodes field,
+    physics/deformable.py).  The floor height each on-mattress geom sees is
+    shifted by its offset and the normal rows target the surface's velocity
+    instead of zero (contacts follow a sinking/rebounding surface).
     """
     G = sys.n_geoms
     if G == 0 and sys.n_pairs == 0:
@@ -161,7 +169,8 @@ def contact_impulses(
     with jax.default_matmul_precision("highest"):
         qd_new, lam = _contact_impulses_f32(
             sys, dp, dyn, qd_free, dt, cfg,
-            jnp.zeros(n_rows(sys)) if lam0 is None else lam0)
+            jnp.zeros(n_rows(sys)) if lam0 is None else lam0,
+            floor_du, floor_dv)
     return qd_new if lam0 is None else (qd_new, lam)
 
 
@@ -201,7 +210,8 @@ def _tangent_basis(n):
 PAIR_ERP = 0.2
 
 
-def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg, lam0):
+def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg, lam0,
+                          floor_du=None, floor_dv=None):
     G = sys.n_geoms
     P = sys.n_pairs
     nv = sys.nv
@@ -217,9 +227,14 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg, lam0):
                        & (p_geom[:, 1] >= dp.mattress_y[0])
                        & (p_geom[:, 1] <= dp.mattress_y[1]))
         floor_z_g = jnp.where(on_mattress, dp.floor_z, dp.hard_floor_z)
+        if floor_du is not None:
+            floor_z_g = jnp.where(on_mattress, floor_z_g + floor_du, floor_z_g)
+        surf_v = (jnp.where(on_mattress, floor_dv, 0.0)
+                  if floor_dv is not None else None)
     else:
         on_mattress = None
         floor_z_g = dp.floor_z
+        surf_v = None
     phi = p_geom[:, 2] - sys.geom_radius - floor_z_g       # signed gap per geom
     active = phi < 0.0
 
@@ -278,8 +293,16 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg, lam0):
     # under vmap, which Mosaic cannot lower)
     if G:
         v_n = jnp.stack([v0[..., 4 * g] for g in range(G)], axis=-1)
-        bounce = jnp.where(v_n < -cfg.restitution_threshold, -e * v_n, 0.0)
-        rhs_n = jnp.maximum(bounce, pushout)                # Bullet takes max of the two
+        if surf_v is not None:
+            # moving mattress surface: restitution from the RELATIVE approach
+            # speed, and the row targets the surface velocity instead of 0
+            v_rel = v_n - surf_v
+            bounce = jnp.where(v_rel < -cfg.restitution_threshold,
+                               -e * v_rel, 0.0)
+            rhs_n = jnp.maximum(bounce, pushout) + surf_v
+        else:
+            bounce = jnp.where(v_n < -cfg.restitution_threshold, -e * v_n, 0.0)
+            rhs_n = jnp.maximum(bounce, pushout)            # Bullet takes max of the two
     else:
         rhs_n = jnp.zeros((0,))
 

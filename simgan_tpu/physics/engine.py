@@ -18,6 +18,7 @@ from simgan_tpu.core import maths
 from simgan_tpu.core.system import DomainParams, PhysState, System
 from simgan_tpu.physics import smallmm
 from simgan_tpu.physics.contact import ContactConfig, contact_impulses, n_rows
+from simgan_tpu.physics.deformable import DeformableConfig, geom_weights, node_substep, surface_offset
 from simgan_tpu.physics.dynamics import compute_dynamics, joint_space_torques
 
 
@@ -38,6 +39,10 @@ class PhysicsConfig(NamedTuple):
     # instead of XLA fusions — the partial-fusion answer to the blocked
     # whole-substep kernel.  Same math/op order as linalg.spd_inverse.
     spd_pallas: bool = False
+    # deform_nodes mattress: the reference's 8-vertex mass-spring cube as a
+    # 4-vertex vertical field coupled to the contact solve
+    # (physics/deformable.py).  None = half-space surrogate semantics.
+    deform: "DeformableConfig | None" = None
 
 
 def substep(
@@ -81,12 +86,39 @@ def substep(
     qd_free = state.qd + smallmm.mv(
         dyn.m_inv, cfg.dt * (tau - dyn.bias) - cfg.dt * damp_diag * state.qd
     )
-    if lam0 is None:
+    # --- deform_nodes mattress field: contacts see the deflected, moving
+    # surface; their normal impulses push the vertices down (deformable.py) ---
+    use_field = cfg.deform is not None and state.field_u is not None
+    if use_field:
+        from simgan_tpu.physics.kinematics import geom_world
+
+        p_geom, _ = geom_world(sys, dyn.kin)
+        w = geom_weights(p_geom, cfg.deform)                 # (G, 4)
+        on_mat = ((p_geom[:, 0] >= dp.mattress_x[0])
+                  & (p_geom[:, 0] <= dp.mattress_x[1])
+                  & (p_geom[:, 1] >= dp.mattress_y[0])
+                  & (p_geom[:, 1] <= dp.mattress_y[1]))
+        w = w * on_mat[:, None]
+        floor_du = surface_offset(w, state.field_u)
+        floor_dv = surface_offset(w, state.field_v)
+        qd_new, lam = contact_impulses(
+            sys, dp, dyn, qd_free, cfg.dt, cfg.contact,
+            lam0=jnp.zeros(n_rows(sys)) if lam0 is None else lam0,
+            floor_du=floor_du, floor_dv=floor_dv)
+        lam_n = jnp.stack([lam[4 * g] for g in range(sys.n_geoms)])
+        node_imp = -jnp.sum(w * lam_n[:, None], axis=0)      # (4,) downward
+        field_u, field_v = node_substep(
+            state.field_u, state.field_v, node_imp, cfg.deform, cfg.dt)
+        if lam0 is None:
+            lam = None
+    elif lam0 is None:
         qd_new = contact_impulses(sys, dp, dyn, qd_free, cfg.dt, cfg.contact)
         lam = None
+        field_u, field_v = state.field_u, state.field_v
     else:
         qd_new, lam = contact_impulses(
             sys, dp, dyn, qd_free, cfg.dt, cfg.contact, lam0=lam0)
+        field_u, field_v = state.field_u, state.field_v
 
     # --- integrate configuration ---
     if sys.fixed_base:
@@ -116,11 +148,11 @@ def substep(
     jqd = jnp.where(at_lo & (jqd < 0), 0.0, jnp.where(at_hi & (jqd > 0), 0.0, jqd))
 
     if sys.fixed_base:
-        out = PhysState(q=clipped, qd=jqd)
+        out = PhysState(q=clipped, qd=jqd, field_u=field_u, field_v=field_v)
     else:
         q_out = jnp.concatenate([pos, quat, clipped])
         qd_out = jnp.concatenate([qd_new[0:6], jqd])
-        out = PhysState(q=q_out, qd=qd_out)
+        out = PhysState(q=q_out, qd=qd_out, field_u=field_u, field_v=field_v)
     return out if lam is None else (out, lam)
 
 
