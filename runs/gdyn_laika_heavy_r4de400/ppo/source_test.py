@@ -72,7 +72,8 @@ class LaikagoCombinedEnv:
 
     def _apply_env_action(self, dp: DomainParams, env_action):
         lateral, spin, resti, damp, stiff, battery = contact_coeff_and_battery(
-            env_action, 4, stiffness=self.cfg.dyn_stiffness)
+            env_action, 4, stiffness=self.cfg.dyn_stiffness,
+            battery01=self.cfg.battery_prior)
         toe = jnp.asarray(laika_model.TOE_GEOMS)
         dp = dp.replace(
             lateral_friction=dp.lateral_friction.at[toe].set(lateral),
