@@ -9,11 +9,13 @@ a large env batch, jitted as one XLA program on the real chip.
 Both robots are measured by default (VERDICT r3 item 4: the driver artifact
 should carry the full perf story), each at its measured-best batch/solver:
 hopper B=32768 with the Mosaic Pallas PGS kernel, laikago B=8192 with the
-row-unrolled XLA pgs (RESULTS.md round-3 A/Bs).
+row-unrolled XLA pgs + the Mosaic SPD-inverse kernel (ops/spd_pallas.py,
+round-4: 6.63 -> 5.91 us/env-step; RESULTS.md A/Bs).
 
 SIMGAN_BENCH_ENV=hopper|laikago restricts to one robot;
 SIMGAN_BENCH_BATCH / SIMGAN_BENCH_ITERS size the run;
-SIMGAN_BENCH_SOLVER=pgs|staged|pgs_pallas overrides the contact solver.
+SIMGAN_BENCH_SOLVER=pgs|staged|pgs_pallas overrides the contact solver;
+SIMGAN_BENCH_SPD=0|1 overrides the SPD-inverse kernel choice.
 
 The reference publishes no numbers (BASELINE.md); the driver-set north star
 is >=1M hybrid-sim env steps/sec on a v5e-8 slice, i.e. 125k steps/sec/chip.
@@ -37,11 +39,15 @@ NORTH_STAR_PER_CHIP = 125_000.0
 # measured-fastest PRODUCTION solver/batch per robot (both end-to-end
 # validated; pgs_pallas is bit-identical to pgs — RESULTS.md): hopper R=19
 # wins with the Mosaic kernel (0.701 vs 1.025 us/step at B=32768), laikago
-# R=58 wins with XLA pgs row-unrolled (6.64 vs 8.36 at B=8192).
-DEFAULTS = {"hopper": (32768, "pgs_pallas"), "laikago": (8192, "")}
+# R=58 wins with XLA pgs row-unrolled (6.64 vs 8.36 at B=8192) plus the
+# VMEM-resident SPD-inverse kernel for the 18x18 M_eff^-1 chain (5.91 us;
+# spd_pallas matches linalg.spd_inverse to float associativity,
+# tests/test_spd_pallas.py).
+DEFAULTS = {"hopper": (32768, "pgs_pallas", False),
+            "laikago": (8192, "", True)}
 
 
-def make_env(env_name, key, solver):
+def make_env(env_name, key, solver, spd):
     from simgan_tpu.agents.networks import MLPPolicy
 
     if env_name == "laikago":
@@ -50,7 +56,7 @@ def make_env(env_name, key, solver):
         behavior = MLPPolicy(action_dim=12, hidden=64)
         b_params = behavior.init(key, jnp.zeros((1, 111)))
         cfg = LaikagoCombinedConfig(act_noise=True, obs_noise=True,
-                                    behavior_logstd=-1.3,
+                                    behavior_logstd=-1.3, spd_pallas=spd,
                                     **({"solver": solver} if solver else {}))
         env = LaikagoCombinedEnv(cfg, behavior_model=behavior,
                                  behavior_params=b_params)
@@ -62,7 +68,7 @@ def make_env(env_name, key, solver):
         b_params = behavior.init(key, jnp.zeros((1, 11)))
         env = HopperCombinedEnv(
             HopperCombinedConfig(act_noise=True, obs_noise=True,
-                                 behavior_logstd=-1.3,
+                                 behavior_logstd=-1.3, spd_pallas=spd,
                                  **({"solver": solver} if solver else {})),
             behavior_model=behavior, behavior_params=b_params)
         num_feet = 1
@@ -73,14 +79,15 @@ def measure(env_name: str) -> float:
     """Steady-state hybrid-sim env steps/sec for one robot."""
     from simgan_tpu.agents.networks import SplitPolicy, policy_act
 
-    batch, solver = DEFAULTS[env_name]
+    batch, solver, spd = DEFAULTS[env_name]
     batch = int(os.environ.get("SIMGAN_BENCH_BATCH", batch))
     solver = os.environ.get("SIMGAN_BENCH_SOLVER", solver)
+    spd = bool(int(os.environ.get("SIMGAN_BENCH_SPD", int(spd))))
 
     key = jax.random.PRNGKey(0)
     k_b, k_d, k_env, k_run = jax.random.split(key, 4)
 
-    env, num_feet = make_env(env_name, k_b, solver)
+    env, num_feet = make_env(env_name, k_b, solver, spd)
     dyn = SplitPolicy(num_feet=num_feet, hidden=100)
     d_params = dyn.init(k_d, jnp.zeros((1, env.obs_dim)))
 
