@@ -72,6 +72,29 @@ def test_hopper_deform_nodes_rollout_craters_and_remembers():
     assert float(jnp.min(s.phys.field_u)) < -1e-4
 
 
+def test_laikago_deform_nodes_rollout_sinks_and_couples():
+    """Laikago (4 feet near x~0) on the stiff node mattress: the x0-side
+    vertices deflect under the standing load and stay finite; deflections
+    are shared surface state (one crater, seen by all feet)."""
+    from simgan_tpu.envs.laikago_env import LaikagoConfig, LaikagoEnv
+
+    env = LaikagoEnv(LaikagoConfig(deform_floor_env=True, deform_nodes=True,
+                                   init_noise=False, act_noise=False,
+                                   obs_noise=False))
+    step = jax.jit(env.step)
+    s, _ = env.reset(jax.random.PRNGKey(1))
+    assert s.phys.field_u is not None and s.phys.field_u.shape == (4,)
+    for _ in range(25):
+        out = step(s, jnp.zeros(12))
+        s = out.state
+    u = np.asarray(s.phys.field_u)
+    assert np.all(np.isfinite(u))
+    # standing weight ~25g*9.8=245N/leg concentrated near x0: x0 vertices
+    # deflect measurably more than the far (x1) pair on the 84 kN/m field
+    assert u.min() < -1e-5, u
+    assert abs(u[[0, 2]].mean()) > abs(u[[1, 3]].mean()), u
+
+
 def test_deform_nodes_vs_surrogate_pytree_compat():
     """Flag off keeps the original pytree (None leaves flatten to nothing),
     so existing rollout/checkpoint code is unaffected."""
