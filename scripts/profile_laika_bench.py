@@ -163,6 +163,15 @@ def main():
                                          "solver": "pgs_pallas"})
         add("spd+pgs_pallas", fn, carry)
 
+    # PROF_MATFREE=1: the matrix-free PGS kernel (ops/pgs_matfree_pallas.py)
+    # alone and combined with the SPD-inverse kernel
+    if os.environ.get("PROF_MATFREE", ""):
+        fn, carry, _ = env_step_variant({"solver": "pgs_matfree"})
+        add("pgs_matfree", fn, carry)
+        fn, carry, _ = env_step_variant({"solver": "pgs_matfree",
+                                         "spd_pallas": True})
+        add("spd+pgs_matfree", fn, carry)
+
     fn, carry = physics_only(env)
     add("physics_only", fn, carry)
 

@@ -52,7 +52,7 @@ class LaikagoCombinedConfig:
     behavior_logstd: float | None = None
     task_y: bool = False
     max_episode_steps: int = base.MAX_EPISODE_STEPS
-    solver: str = "pgs"           # contact solver: 'pgs' | 'staged' | 'pgs_pallas'
+    solver: str = "pgs"           # contact solver: 'pgs' | 'staged' | 'pgs_pallas' | 'pgs_matfree'
     solver_iterations: int = 5    # PGS sweeps (Bullet numSolverIterations analog)
     solver_warm_start: bool = True
     # run the M_eff⁻¹ chain as one Mosaic kernel (ops/spd_pallas.py)

@@ -77,6 +77,13 @@ class ContactConfig(NamedTuple):
     # iterations*R serial HBM-roundtrip ops of the rolled path (measured
     # 58% of the laikago hybrid step at B=8192).  Unbatched calls fall back
     # to the rolled loop (ops/pgs_pallas.py).
+    # 'pgs_matfree': matrix-free Pallas PGS — the Delassus matrix is never
+    # materialized; the kernel maintains w = M⁻¹Jᵀλ in VMEM with one AXPY
+    # per row update, cutting per-substep HBM traffic from O(B·R²) to
+    # O(2·B·R·NV) (~6x at laikago R=58).  Same row order/projection as
+    # 'pgs' but NOT bit-identical (row dot contracts over NV instead of R):
+    # bench/rollout use; production identification stays on pgs/pgs_pallas
+    # (ops/pgs_matfree_pallas.py).
     solver: str = "pgs"
     # Statically unroll the ROW loop of the 'pgs' sweep (fori_loop stays over
     # sweeps).  Bit-identical to the fully-rolled (iterations*R fori) form —
@@ -285,7 +292,8 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg, lam0,
         rows.append(smallmm.vm(tp2, j_rel))
     J = jnp.stack(rows)                                     # (4G + 3P, NV)
 
-    A = smallmm.mm(smallmm.mm(J, dyn.m_inv), J.T)           # (R, R)
+    JM = smallmm.mm(J, dyn.m_inv)                           # (R, NV) = (M⁻¹Jᵀ)ᵀ
+    A = smallmm.mm(JM, J.T)                                 # (R, R)
     v0 = smallmm.mv(J, qd_free)                             # row velocities pre-impulse
 
     # restitution bias on normal rows from the *pre-contact* approach speed
@@ -398,6 +406,25 @@ def _contact_impulses_f32(sys, dp, dyn, qd_free, dt, cfg, lam0,
         lam = jax.lax.fori_loop(0, cfg.iterations, sweep_unrolled,
                                 jnp.where(active_r, lam0, 0.0))
         return qd_free + smallmm.mv(dyn.m_inv, smallmm.mv(J.T, lam)), lam
+
+    if cfg.solver == "pgs_matfree":
+        # Matrix-free Pallas PGS: A is never formed (XLA DCEs the assembly
+        # above — only JM survives); the kernel maintains w = M⁻¹Jᵀλ in
+        # VMEM and returns Δqd = M⁻¹Jᵀλ directly.  Same row order and
+        # projection as 'pgs'; differs at float-association ulps (row dot
+        # contracts over NV instead of R), so NOT bit-identical —
+        # bench/rollout regime only, not production identification
+        # (ops/pgs_matfree_pallas.py).
+        from simgan_tpu.ops.pgs_matfree_pallas import make_matfree_solver
+
+        diag_mf = jnp.sum(JM * J, axis=-1)                 # diag(A) w/o A
+        invd_mf = 1.0 / jnp.maximum(diag_mf + softness_r, 1e-9)
+        solve = make_matfree_solver(R, int(J.shape[-1]), cfg.iterations,
+                                    tuple(bool(x) for x in _isn_np),
+                                    tuple(int(x) for x in _norm_np))
+        lam, dqd = solve(J, JM, v0, rhs, mu_r, softness_r,
+                         active_r.astype(jnp.float32), invd_mf, lam0)
+        return qd_free + dqd, lam
 
     a_diag = jnp.sum(A * jnp.eye(R), axis=-1)   # Mosaic-safe diagonal
     inv_diag = 1.0 / jnp.maximum(a_diag + softness_r, 1e-9)
