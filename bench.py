@@ -15,7 +15,15 @@ round-4: 6.63 -> 5.91 us/env-step; RESULTS.md A/Bs).
 SIMGAN_BENCH_ENV=hopper|laikago restricts to one robot;
 SIMGAN_BENCH_BATCH / SIMGAN_BENCH_ITERS size the run;
 SIMGAN_BENCH_SOLVER=pgs|staged|pgs_pallas overrides the contact solver;
-SIMGAN_BENCH_SPD=0|1 overrides the SPD-inverse kernel choice.
+SIMGAN_BENCH_SPD=0|1 overrides the SPD-inverse kernel choice;
+SIMGAN_BENCH_BUDGET_S caps total wall clock (default 420 s).
+
+Wall-clock budget (round-5 fix for the BENCH_r04 rc=124 null): the hopper
+headline is measured first; the laikago leg only starts if enough budget
+remains for its worst observed cold compile, runs under a SIGALRM backstop,
+and any laikago failure/timeout degrades to extra keys in the hopper line
+instead of killing the artifact.  The headline JSON line always prints as
+long as the hopper leg itself completes.
 
 The reference publishes no numbers (BASELINE.md); the driver-set north star
 is >=1M hybrid-sim env steps/sec on a v5e-8 slice, i.e. 125k steps/sec/chip.
@@ -27,6 +35,7 @@ measurement rides along as extra keys).
 
 import json
 import os
+import signal
 import time
 
 import jax
@@ -34,7 +43,12 @@ import jax.numpy as jnp
 
 ENV = os.environ.get("SIMGAN_BENCH_ENV", "")  # '' = both robots
 ITERS = int(os.environ.get("SIMGAN_BENCH_ITERS", 25))
+BUDGET_S = float(os.environ.get("SIMGAN_BENCH_BUDGET_S", 420.0))
+# worst observed cold-cache laikago leg (compile-dominated); the leg is
+# skipped rather than started if less than this remains in the budget
+LAIKAGO_COST_S = 180.0
 NORTH_STAR_PER_CHIP = 125_000.0
+T_START = time.perf_counter()
 
 # measured-fastest PRODUCTION solver/batch per robot (both end-to-end
 # validated; pgs_pallas is bit-identical to pgs — RESULTS.md): hopper R=19
@@ -127,22 +141,57 @@ def measure(env_name: str) -> float:
     return batch * ITERS * n_chunks / dt
 
 
+class _LegTimeout(Exception):
+    pass
+
+
+def _measure_secondary(env_name: str, out: dict) -> None:
+    """Measure a non-headline robot under the remaining wall-clock budget.
+
+    Skips (recording why) if the remaining budget can't cover the leg's
+    worst observed cold compile; aborts via SIGALRM if it overruns anyway.
+    The alarm fires between host-side Python steps — it cannot interrupt a
+    single blocked XLA call, so the pre-start budget check is the primary
+    protection and the alarm the backstop.
+    """
+    remaining = BUDGET_S - (time.perf_counter() - T_START)
+    if remaining < LAIKAGO_COST_S:
+        out[f"{env_name}_skipped"] = f"budget ({remaining:.0f}s left)"
+        return
+
+    def _on_alarm(signum, frame):
+        raise _LegTimeout()
+
+    prev = signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(max(1, int(remaining)))
+    try:
+        sps = measure(env_name)
+        out[f"{env_name}_value"] = round(sps, 1)
+        out[f"{env_name}_vs_baseline"] = round(sps / NORTH_STAR_PER_CHIP, 3)
+    except _LegTimeout:
+        out[f"{env_name}_skipped"] = "leg timeout"
+    except Exception as e:  # never lose the headline to the rider
+        out[f"{env_name}_skipped"] = f"error: {type(e).__name__}: {e}"[:200]
+    finally:
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, prev)
+
+
 def main():
     robots = [ENV] if ENV else ["hopper", "laikago"]
-    sps = {r: measure(r) for r in robots}
-    primary = "hopper" if "hopper" in sps else robots[0]
+    primary = "hopper" if "hopper" in robots else robots[0]
     out = {
         "metric": ("hybrid_sim_env_steps_per_sec_per_chip"
                    if primary == "hopper"
                    else f"hybrid_sim_env_steps_per_sec_per_chip_{primary}"),
-        "value": round(sps[primary], 1),
         "unit": "env_steps/s",
-        "vs_baseline": round(sps[primary] / NORTH_STAR_PER_CHIP, 3),
     }
+    sps = measure(primary)
+    out["value"] = round(sps, 1)
+    out["vs_baseline"] = round(sps / NORTH_STAR_PER_CHIP, 3)
     for r in robots:
         if r != primary:
-            out[f"{r}_value"] = round(sps[r], 1)
-            out[f"{r}_vs_baseline"] = round(sps[r] / NORTH_STAR_PER_CHIP, 3)
+            _measure_secondary(r, out)
     print(json.dumps(out))
 
 
