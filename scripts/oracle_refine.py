@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument("--refine-steps", type=int, default=None)
     p.add_argument("--lanes", type=int, default=128)
     p.add_argument("--steps", type=int, default=125)
+    p.add_argument("--seed-offset", type=int, default=0,
+                   help="added to the refine seed, matching "
+                        "run_experiment.py --seed-offset so the oracle can "
+                        "be paired with each seed of a hybrid-sim study")
     args = p.parse_args(argv)
 
     exp = EXPERIMENTS[args.experiment]
@@ -54,7 +58,7 @@ def main(argv=None):
         "warm_start": os.path.join(behavior_dir, exp["behavior_env"]),
         "log_interval": 25,
         "save_interval": 25,
-        "seed": exp["seed"] + 7,
+        "seed": exp["seed"] + 7 + args.seed_offset,
         **({"num_env_steps": args.refine_steps} if args.refine_steps else {}),
     })
 
