@@ -8,9 +8,15 @@ a large env batch, jitted as one XLA program on the real chip.
 
 Both robots are measured by default (VERDICT r3 item 4: the driver artifact
 should carry the full perf story), each at its measured-best batch/solver:
-hopper B=32768 with the Mosaic Pallas PGS kernel, laikago B=8192 with the
-row-unrolled XLA pgs + the Mosaic SPD-inverse kernel (ops/spd_pallas.py,
-round-4: 6.63 -> 5.91 us/env-step; RESULTS.md A/Bs).
+the matrix-free Mosaic PGS kernel (ops/pgs_matfree_pallas.py) for BOTH
+robots as of round 5 — it deletes the Delassus assembly/relayout HBM
+traffic and won the same-session A/B at every shape (hopper B=32768:
+0.699 -> 0.516 us/env-step, 1.36x; laikago B=8192 [+ SPD-inverse kernel]:
+5.91 -> 4.27, 1.38x; runs/ab_matfree_result.json).  Same algorithm, row
+order, and projection as 'pgs'/'pgs_pallas'; differs only at
+float-association ulps (trajectory drift pinned by tests/test_pgs_matfree
+.py), so production identification stays on pgs/pgs_pallas per the solver
+doctrine while the bench measures the rollout/serving hot path.
 
 SIMGAN_BENCH_ENV=hopper|laikago restricts to one robot;
 SIMGAN_BENCH_BATCH / SIMGAN_BENCH_ITERS size the run;
@@ -50,15 +56,16 @@ LAIKAGO_COST_S = 180.0
 NORTH_STAR_PER_CHIP = 125_000.0
 T_START = time.perf_counter()
 
-# measured-fastest PRODUCTION solver/batch per robot (both end-to-end
-# validated; pgs_pallas is bit-identical to pgs — RESULTS.md): hopper R=19
-# wins with the Mosaic kernel (0.701 vs 1.025 us/step at B=32768), laikago
-# R=58 wins with XLA pgs row-unrolled (6.64 vs 8.36 at B=8192) plus the
-# VMEM-resident SPD-inverse kernel for the 18x18 M_eff^-1 chain (5.91 us;
-# spd_pallas matches linalg.spd_inverse to float associativity,
-# tests/test_spd_pallas.py).
-DEFAULTS = {"hopper": (32768, "pgs_pallas", False),
-            "laikago": (8192, "", True)}
+# measured-fastest solver/batch per robot (round-5 A/B,
+# runs/ab_matfree_result.json): the matrix-free Mosaic PGS kernel wins both
+# bench shapes (hopper 0.516 vs 0.699 us/env-step @B=32768; laikago 4.27 vs
+# 5.91 @B=8192) and the laikago trainer shape (7.39 vs 9.30 @B=128).
+# Laikago keeps the VMEM-resident SPD-inverse kernel for the 18x18
+# M_eff^-1 chain (ops/spd_pallas.py) that feeds matfree's Ut = J M^-1.
+# Prior defaults (hopper pgs_pallas 1,430.7k; laikago row-unrolled XLA pgs
+# + spd 169.3k) remain selectable via SIMGAN_BENCH_SOLVER/SIMGAN_BENCH_SPD.
+DEFAULTS = {"hopper": (32768, "pgs_matfree", False),
+            "laikago": (8192, "pgs_matfree", True)}
 
 
 def make_env(env_name, key, solver, spd):
