@@ -280,9 +280,12 @@ def main(argv=None):
     p.add_argument("--steps", type=int, default=125)
     # pgs_pallas reproduced the pgs laika_heavy pipeline BIT-IDENTICALLY
     # (tag r3p == r3a to the last bit) at 2-5x the wall-clock; 'staged' is
-    # disqualified for identification (r3s transfer collapse, RESULTS.md)
+    # disqualified for identification (r3s transfer collapse, RESULTS.md).
+    # pgs_matfree is algorithm-identical but ulp-different (float
+    # association) — gated behind an end-to-end transfer A/B before it can
+    # become the identification default (RESULTS.md matfree section).
     p.add_argument("--solver", default="pgs_pallas",
-                   choices=["pgs", "staged", "pgs_pallas"])
+                   choices=["pgs", "staged", "pgs_pallas", "pgs_matfree"])
     p.add_argument("--traj-suffix", default="",
                    help="suffix for the expert-traj pickle (e.g. _det), so "
                         "alternate collect recipes don't overwrite the base "

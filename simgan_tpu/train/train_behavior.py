@@ -33,6 +33,7 @@ from simgan_tpu.agents.rollout import RewardNorm, RolloutCarry, Transition, Vect
 from simgan_tpu.envs.base import AutoResetEnv
 from simgan_tpu.train import checkpoints
 from simgan_tpu.train.config import TrainConfig
+from simgan_tpu.utils import kv_logger
 
 
 def setup_logging(save_path: str) -> logging.Logger:
@@ -348,6 +349,9 @@ def _train_loop(cfg, logger, model, update_fn, train_state, key, save_path):
     from simgan_tpu.utils.profiling import StepTimer
 
     monitor = MonitorWriter(save_path, rank=0, env_id=cfg.env_name)
+    # SIMGAN_KV_LOG=csv,json opts into baselines-style progress files
+    # (reference surface: baselines/logger.py; see utils/kv_logger.py)
+    kv = kv_logger.maybe_configure(save_path)
     timer = StepTimer()
     start = time.time()
     for j in range(cfg.num_updates):
@@ -370,6 +374,14 @@ def _train_loop(cfg, logger, model, update_fn, train_state, key, save_path):
             total_steps = (j + 1) * cfg.num_processes * cfg.num_steps
             fps = int(total_steps / (time.time() - start))
             fps_now = timer.rate(cfg.num_processes * cfg.num_steps)
+            if kv is not None:
+                kv.logkvs({"updates": j, "total_timesteps": total_steps,
+                           "fps": fps, "episodes": int(ep_count),
+                           "mean_reward": mean_r,
+                           "dist_entropy": float(stats["dist_entropy"]),
+                           "value_loss": float(stats["value_loss"]),
+                           "action_loss": float(stats["action_loss"])})
+                kv.dumpkvs()
             logger.info(
                 "Updates %d, num timesteps %d, FPS %d (now %d), episodes %d, "
                 "mean reward %.1f, min/max %.1f/%.1f, dist_en %.3f, l_pi %.4f, l_vf %.4f",

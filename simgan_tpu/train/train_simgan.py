@@ -218,9 +218,12 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
         cfg, make_update_fn(venv, model, tx, disc_model, disc_tx, expert_feats,
                             gail_tar_length, cfg), train_state)
 
+    from simgan_tpu.utils import kv_logger
     from simgan_tpu.utils.monitor import MonitorWriter
 
     monitor = MonitorWriter(save_path, rank=0, env_id=cfg.env_name)
+    # SIMGAN_KV_LOG=csv,json opts into baselines-style progress files
+    kv = kv_logger.maybe_configure(save_path)
     start = time.time()
     for j in range(cfg.num_updates):
         key, k_up = jax.random.split(key)
@@ -247,6 +250,15 @@ def train(cfg: TrainConfig, env_kwargs: dict | None = None, env_extra: dict | No
             total_steps = (j + 1) * cfg.num_processes * cfg.num_steps
             fps = int(total_steps / (time.time() - start))
             ep_count = max(float(s["episode_count"]), 1.0)
+            if kv is not None:
+                kv.logkvs({"updates": j, "total_timesteps": total_steps,
+                           "fps": fps,
+                           "mean_reward": float(s["episode_reward_sum"]) / ep_count,
+                           "gail_reward": float(s["gail_rewards"]),
+                           "gail_loss": float(s["gail_loss"]),
+                           "value_loss": float(s["value_loss"]),
+                           "action_loss": float(s["action_loss"])})
+                kv.dumpkvs()
             logger.info(
                 "Updates %d, num timesteps %d, FPS %d, mean reward %.1f, "
                 "dist_en %.3f, l_pi %.4f, l_vf %.4f, gail_r %.3f, "
