@@ -42,7 +42,23 @@ def main(argv=None):
                    help="added to the refine seed, matching "
                         "run_experiment.py --seed-offset so the oracle can "
                         "be paired with each seed of a hybrid-sim study")
+    p.add_argument("--override", default="",
+                   help="comma-separated key=value TrainConfig overrides for "
+                        "the oracle refine (e.g. entropy_coef=0.003 to test "
+                        "the entropy-floor lever at the ceiling)")
     args = p.parse_args(argv)
+
+    overrides = {}
+    for kv in (args.override.split(",") if args.override else []):
+        k, v = kv.split("=", 1)
+        try:
+            v = int(v)
+        except ValueError:
+            try:
+                v = float(v)
+            except ValueError:
+                pass
+        overrides[k] = v
 
     exp = EXPERIMENTS[args.experiment]
     behavior_dir = BEHAVIOR[exp["behavior_env"]]
@@ -60,6 +76,7 @@ def main(argv=None):
         "save_interval": 25,
         "seed": exp["seed"] + 7 + args.seed_offset,
         **({"num_env_steps": args.refine_steps} if args.refine_steps else {}),
+        **overrides,
     })
 
     from simgan_tpu.train import train_behavior
@@ -79,7 +96,8 @@ def main(argv=None):
                oracle_mean=res["mean_reward"],
                oracle_median=res["median_reward"],
                oracle_success=res["success"],
-               refine_steps=refine_cfg.num_env_steps)
+               refine_steps=refine_cfg.num_env_steps,
+               **({"overrides": overrides} if overrides else {}))
     path = os.path.join(RUNS, f"{args.experiment}_{args.tag}_result.json")
     json.dump(out, open(path, "w"), indent=1)
     print(f"== oracle refine {args.experiment}: {out}", flush=True)

@@ -121,6 +121,7 @@ def run(name: str, stages: list[str], tag: str = "", s_idx=(0,), a_idx=(0,),
         cross_ensemble=cross_ensemble, dyn_stiffness=dyn_stiffness,
         d_ensemble=d_ensemble, battery_prior=battery_prior,
         overrides_id=overrides_id or {},
+        overrides_refine=overrides_refine or {},
         target_overrides={k: v for k, v in (target_overrides or {}).items()})
 
     assert lanes * steps == 16000, (lanes, steps)
@@ -314,6 +315,11 @@ def main(argv=None):
                    help="framework extension: squash pi_dyn's battery dims "
                         "to [0,1] (derate-only prior) instead of the "
                         "reference's [-0.5,1.5] (0 = reference semantics)")
+    p.add_argument("--refine-override", default="",
+                   help="comma-separated key=value TrainConfig overrides for "
+                        "the REFINE stage (e.g. entropy_coef=0.003 — the "
+                        "entropy-floor lever the laika_heavy oracle study "
+                        "motivates, RESULTS.md round 5)")
     p.add_argument("--id-override", default="",
                    help="comma-separated key=value TrainConfig overrides for "
                         "the identify stage (e.g. "
@@ -348,6 +354,11 @@ def main(argv=None):
         for kv in args.id_override.split(","):
             k, v = kv.split("=", 1)
             overrides_id[k] = _parse_val(v)
+    overrides_refine = {}
+    if args.refine_override:
+        for kv in args.refine_override.split(","):
+            k, v = kv.split("=", 1)
+            overrides_refine[k] = _parse_val(v)
     target_overrides = {}
     if args.target_override:
         for kv in args.target_override.split(","):
@@ -363,7 +374,7 @@ def main(argv=None):
         pessimism=args.pessimism, cross_ensemble=args.cross_ensemble,
         dyn_stiffness=bool(args.dyn_stiffness), d_ensemble=args.d_ensemble,
         battery_prior=bool(args.battery_prior), overrides_id=overrides_id,
-        target_overrides=target_overrides)
+        overrides_refine=overrides_refine, target_overrides=target_overrides)
 
 
 if __name__ == "__main__":
