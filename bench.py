@@ -15,8 +15,9 @@ traffic and won the same-session A/B at every shape (hopper B=32768:
 5.91 -> 4.27, 1.38x; runs/ab_matfree_result.json).  Same algorithm, row
 order, and projection as 'pgs'/'pgs_pallas'; differs only at
 float-association ulps (trajectory drift pinned by tests/test_pgs_matfree
-.py), so production identification stays on pgs/pgs_pallas per the solver
-doctrine while the bench measures the rollout/serving hot path.
+.py), and transfer-validated end-to-end in round 5 (full laika_power
+pipeline with pgs_matfree reproduces the pgs row of record: 5425.3 mean,
+100/100 success — runs/laika_power_r5mf_result.json).
 
 SIMGAN_BENCH_ENV=hopper|laikago restricts to one robot;
 SIMGAN_BENCH_BATCH / SIMGAN_BENCH_ITERS size the run;
